@@ -1,0 +1,17 @@
+from .mesh import make_mesh
+from .shard import (
+    shard_lstm_params,
+    shard_batch,
+    sharded_decoder_train_step,
+    sharded_vad_train_step,
+    batched_vocoder_sharding,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_lstm_params",
+    "shard_batch",
+    "sharded_decoder_train_step",
+    "sharded_vad_train_step",
+    "batched_vocoder_sharding",
+]

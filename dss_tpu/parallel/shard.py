@@ -1,0 +1,112 @@
+"""Sharding rules and sharded training/inference steps.
+
+Layout strategy:
+* batch/stream axis -> mesh "data" (data parallelism over trials/streams);
+* LSTM gate matrices [4H, in]/[4H, H] and gate biases [4H] -> mesh "model"
+  on the 4H axis (Megatron-style tensor parallelism: each shard computes its
+  gate block; the recurrent hidden state is all-gathered per step by GSPMD);
+* heads and everything else replicated (they are tiny).
+
+Steps are ordinary jitted functions: GSPMD propagates the input shardings
+and inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _lstm_param_spec(path_leaf_shape, hidden4: int) -> P:
+    shape = path_leaf_shape
+    if len(shape) >= 1 and shape[0] == hidden4:
+        return P("model") if len(shape) == 1 else P("model", None)
+    return P()
+
+
+def shard_lstm_params(mesh: Mesh, params: Any, hidden_size: int) -> Any:
+    """Place a model params pytree on the mesh with gate-block sharding."""
+    hidden4 = 4 * hidden_size
+
+    def place(leaf):
+        leaf = np.asarray(leaf)
+        spec = _lstm_param_spec(leaf.shape, hidden4)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, params)
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place batch-leading arrays on the mesh's data axis."""
+    out = []
+    for a in arrays:
+        spec = P("data", *([None] * (np.asarray(a).ndim - 1)))
+        out.append(jax.device_put(np.asarray(a), NamedSharding(mesh, spec)))
+    return out if len(out) > 1 else out[0]
+
+
+def sharded_decoder_train_step(mesh: Mesh, x, y, mask, hidden: int = 100):
+    """One dp x tp decoder training step on the mesh (used by the driver's
+    multi-chip dry run and by scale-up training)."""
+    from ..models import BidirectionalSpeechSynthesisModel
+    from ..train.trainer_decoder import DecoderTrainer
+
+    model = BidirectionalSpeechSynthesisModel(
+        nb_layer=2, nb_hidden_units=hidden, nb_electrodes=x.shape[-1]
+    )
+    trainer = DecoderTrainer(model)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+    with mesh:
+        params = shard_lstm_params(mesh, params, hidden)
+        opt_state = jax.tree.map(
+            lambda l: l, trainer.optimizer.init(params)
+        )
+        xb, yb, mb = shard_batch(mesh, x, y, mask)
+        dropout_rng = jax.random.PRNGKey(1)
+        new_params, _opt, loss = trainer.train_step(
+            params, opt_state, xb, yb, mb, dropout_rng
+        )
+        jax.block_until_ready(new_params)
+    return loss
+
+
+def sharded_vad_train_step(mesh: Mesh, x, y, mask, hidden: int = 150):
+    """One dp x tp nVAD TBPTT trial on the mesh."""
+    from ..models import UnidirectionalVoiceActivityDetector
+    from ..train.trainer_vad import VadTrainer
+
+    model = UnidirectionalVoiceActivityDetector(
+        nb_layer=2, nb_hidden_units=hidden, nb_electrodes=x.shape[-1]
+    )
+    trainer = VadTrainer(model)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+    with mesh:
+        params = shard_lstm_params(mesh, params, hidden)
+        opt_state = trainer.optimizer.init(params)
+        xb, yb, mb = shard_batch(mesh, x, y, mask)
+        new_params, _opt, loss = trainer.tbptt_trial(
+            params, opt_state, xb, yb, mb, jax.random.PRNGKey(1)
+        )
+        jax.block_until_ready(new_params)
+    return loss
+
+
+def batched_vocoder_sharding(mesh: Mesh, state, features):
+    """Place vocoder stream state + features on the data axis for N-way
+    parallel synthesis across chips."""
+    def place(leaf):
+        leaf = np.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[0] == features.shape[0]:
+            spec = P("data", *([None] * (leaf.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    state = jax.tree.map(place, state)
+    features = shard_batch(mesh, features)
+    return state, features

@@ -1,0 +1,333 @@
+"""Asyncio streaming dataflow graph — the framework's ezmsg equivalent.
+
+Parity target: the reference builds its online system on ezmsg 3.0.0
+(``ez.Unit``, ``ez.System``, ``ez.Settings``, ``ez.State``, ``InputStream``/
+``OutputStream``, ``ez.run_system`` — used throughout local/units.py and
+decode_online.py:42-169).  This module provides the same public surface so a
+system definition reads identically to the reference's.
+
+Runtime design difference, on purpose: ezmsg spawns units across OS
+processes; here every unit is an asyncio task in ONE process, because the
+TPU device context must be owned by a single process — the heavy math lives
+in jitted device programs whose dispatch is already asynchronous, so
+process-parallelism would only add serialization boundaries.  Units
+communicate over per-edge asyncio queues; backpressure semantics at the
+network ingest (drop-old, HWM=1) stay in the ZMQ socket options exactly as
+in the reference.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import inspect
+import logging
+from typing import Any, AsyncGenerator, Dict, Iterable, List, Optional, Tuple
+
+logger = logging.getLogger("dss_tpu.runtime")
+
+
+def _make_dataclass_subclass(cls):
+    """Turn an annotated subclass into a dataclass (Settings/State bases)."""
+    return dataclasses.dataclass(cls)
+
+
+class Settings:
+    """Immutable-by-convention unit configuration."""
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        _make_dataclass_subclass(cls)
+
+
+class State:
+    """Mutable per-unit state. Annotated fields become dataclass fields; all
+    must have defaults (or Optional) so units can auto-instantiate."""
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        _make_dataclass_subclass(cls)
+
+
+class _Stream:
+    """Descriptor identifying a unit port. Accessing through an instance
+    yields a port handle bound to that unit instance."""
+
+    def __init__(self, msg_type: Any = None):
+        self.msg_type = msg_type
+        self.name: Optional[str] = None
+
+    def __set_name__(self, owner, name):
+        self.name = name
+
+    def __get__(self, instance, owner=None):
+        if instance is None:
+            return self
+        return BoundStream(instance, self)
+
+
+class InputStream(_Stream):
+    pass
+
+
+class OutputStream(_Stream):
+    pass
+
+
+class BoundStream:
+    def __init__(self, unit: "Unit", stream: _Stream):
+        self.unit = unit
+        self.stream = stream
+
+    def __hash__(self):
+        return hash((id(self.unit), id(self.stream)))
+
+    def __eq__(self, other):
+        return (isinstance(other, BoundStream)
+                and self.unit is other.unit
+                and self.stream is other.stream)
+
+    def __repr__(self):
+        return f"{type(self.unit).__name__}.{self.stream.name}"
+
+
+def subscriber(stream: _Stream):
+    """Mark a coroutine as the consumer of an input stream."""
+
+    def deco(fn):
+        fn._dss_subscribes = stream
+        return fn
+
+    return deco
+
+
+def publisher(stream: _Stream):
+    """Mark an async generator as producing (stream, message) pairs."""
+
+    def deco(fn):
+        fn._dss_publishes = stream
+        return fn
+
+    return deco
+
+
+def main_loop(fn):
+    """Mark a source coroutine with no input stream (runs once as a task)."""
+    fn._dss_main = True
+    return fn
+
+
+class Unit:
+    """Base class for graph nodes.
+
+    Subclasses declare ``SETTINGS: SomeSettings`` / ``STATE: SomeState``
+    annotations plus class-level InputStream/OutputStream ports, exactly like
+    the reference's ezmsg units.
+    """
+
+    def __init__(self, settings: Optional[Settings] = None):
+        self.SETTINGS = settings
+        state_cls = self.__class__.__annotations__.get("STATE")
+        self.STATE = state_cls() if isinstance(state_cls, type) else None
+
+    def apply_settings(self, settings: Settings) -> None:
+        self.SETTINGS = settings
+
+    def initialize(self) -> None:  # noqa: B027
+        pass
+
+    def shutdown(self) -> None:  # noqa: B027
+        pass
+
+    def _handlers(self) -> List[Tuple[Optional[_Stream], Any]]:
+        out = []
+        for name in dir(type(self)):
+            fn = getattr(type(self), name, None)
+            if fn is None or not callable(fn):
+                continue
+            if hasattr(fn, "_dss_subscribes") or hasattr(fn, "_dss_main") or (
+                hasattr(fn, "_dss_publishes")
+                and not hasattr(fn, "_dss_subscribes")
+            ):
+                out.append((getattr(fn, "_dss_subscribes", None),
+                            getattr(self, name)))
+        return out
+
+
+NetworkDefinition = Iterable[Tuple[BoundStream, BoundStream]]
+
+
+class System:
+    """A configured collection of units plus their wiring.
+
+    Units are declared as class attributes (instantiated at class definition,
+    like the reference's ``CONNECTOR = ZMQConnector()``); ``configure()``
+    applies settings; ``network()`` returns (output, input) port pairs.
+    """
+
+    SETTINGS: Optional[Settings] = None
+
+    def __init__(self, settings: Optional[Settings] = None):
+        self.SETTINGS = settings
+        # Bind per-instance copies of the class-level units so two systems
+        # don't share state.
+        for name, value in list(vars(type(self)).items()):
+            if isinstance(value, Unit):
+                setattr(self, name, value)
+
+    def configure(self) -> None:  # noqa: B027
+        pass
+
+    def network(self) -> NetworkDefinition:
+        return ()
+
+    def units(self) -> List[Unit]:
+        seen: List[Unit] = []
+        for name in dir(self):
+            if name.startswith("__"):
+                continue
+            value = getattr(self, name)
+            if isinstance(value, Unit) and value not in seen:
+                seen.append(value)
+        return seen
+
+
+class _Router:
+    """Fan-out of published messages to all subscribed edge queues."""
+
+    def __init__(self):
+        self.routes: Dict[BoundStream, List[asyncio.Queue]] = {}
+
+    def connect(self, src: BoundStream, queue: asyncio.Queue) -> None:
+        self.routes.setdefault(src, []).append(queue)
+
+    async def publish(self, port: BoundStream, message: Any) -> None:
+        for q in self.routes.get(port, ()):
+            await q.put(message)
+
+
+async def _run_source(unit: Unit, fn, router: _Router) -> None:
+    result = fn()
+    if inspect.isasyncgen(result):
+        async for item in result:
+            if item is None:
+                continue
+            port_ref, message = item
+            await router.publish(_bind(unit, port_ref), message)
+    else:
+        await result
+
+
+def _bind(unit: Unit, port_ref) -> BoundStream:
+    if isinstance(port_ref, BoundStream):
+        return port_ref
+    return BoundStream(unit, port_ref)
+
+
+async def _run_subscriber(unit: Unit, fn, queue: asyncio.Queue,
+                          router: _Router) -> None:
+    while True:
+        message = await queue.get()
+        if message is _SHUTDOWN:
+            queue.task_done()
+            break
+        result = fn(message)
+        if inspect.isasyncgen(result):
+            async for item in result:
+                if item is None:
+                    continue
+                port_ref, out_msg = item
+                await router.publish(_bind(unit, port_ref), out_msg)
+        elif inspect.iscoroutine(result):
+            await result
+        queue.task_done()
+
+
+class _Shutdown:
+    pass
+
+
+_SHUTDOWN = _Shutdown()
+
+
+async def run_system_async(system: System,
+                           duration: Optional[float] = None) -> None:
+    system.configure()
+    units = system.units()
+    router = _Router()
+
+    # One queue per (unit, subscriber handler); connect network edges.
+    sub_queues: Dict[Tuple[int, int], asyncio.Queue] = {}
+    handler_map: Dict[Unit, List[Tuple[Optional[_Stream], Any]]] = {
+        u: u._handlers() for u in units
+    }
+
+    edges = list(system.network())
+    for u in units:
+        for stream, fn in handler_map[u]:
+            if stream is not None:
+                sub_queues[(id(u), id(stream))] = asyncio.Queue()
+
+    for src, dst in edges:
+        key = (id(dst.unit), id(dst.stream))
+        if key not in sub_queues:
+            raise ValueError(f"No subscriber handler for {dst}")
+        router.connect(src, sub_queues[key])
+
+    for u in units:
+        u.initialize()
+    logger.info(
+        f"System initialized ({len(units)} units) — starting sources."
+    )
+
+    source_tasks: List[asyncio.Task] = []
+    sub_tasks: List[Tuple[asyncio.Queue, asyncio.Task]] = []
+    try:
+        for u in units:
+            for stream, fn in handler_map[u]:
+                if stream is None:
+                    source_tasks.append(
+                        asyncio.create_task(_run_source(u, fn, router))
+                    )
+                else:
+                    q = sub_queues[(id(u), id(stream))]
+                    sub_tasks.append(
+                        (q, asyncio.create_task(
+                            _run_subscriber(u, fn, q, router)))
+                    )
+
+        if duration is not None:
+            done, pending = await asyncio.wait(
+                source_tasks, timeout=duration
+            ) if source_tasks else (set(), set())
+        else:
+            if source_tasks:
+                await asyncio.gather(*source_tasks)
+
+        # Sources finished (or duration elapsed): drain and stop subscribers
+        # in topological best-effort order (repeatedly join all queues).
+        for _ in range(len(units) + 1):
+            for q, _t in sub_tasks:
+                await q.join()
+        for q, _t in sub_tasks:
+            await q.put(_SHUTDOWN)
+        for _q, t in sub_tasks:
+            await t
+    finally:
+        for t in source_tasks:
+            if not t.done():
+                t.cancel()
+        for u in units:
+            try:
+                u.shutdown()
+            except Exception:  # shutdown hooks must not mask each other
+                logger.exception(f"shutdown failed for {type(u).__name__}")
+
+
+def run_system(system: System, duration: Optional[float] = None) -> None:
+    """Run a system until its sources complete (or ``duration`` elapses),
+    then drain in-flight messages and invoke every unit's shutdown hook."""
+    try:
+        asyncio.run(run_system_async(system, duration))
+    except KeyboardInterrupt:
+        logger.info("Interrupted — shutting down system.")

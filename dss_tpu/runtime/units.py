@@ -1,0 +1,476 @@
+"""Streaming graph units for the online speech neuroprosthesis.
+
+Parity target: reference local/units.py — same unit roster, message
+contracts, log-file formats, and latency bookkeeping:
+
+* ``ZMQConnector``       — BCI2000 GenericSignal ZMQ SUB ingest (:39-89)
+* ``HighGammaActivity``  — feature front-end unit (:97-207)
+* ``BinaryLogger``       — raw ``tobytes`` binary logs (:212-270)
+* ``VoiceActivityDetectionLogger`` — ``.lab`` segment log (:273-319)
+* ``DelayedWavLogger``   — per-segment ``reco_%05d.wav`` (:322-364)
+* ``FilterSpeechSegments`` — nVAD gate + smoothing + segment history (:369-447)
+* ``RecurrentNeuralDecodingModel`` — per-segment bidirectional decode (:450-508)
+* ``DelayedLPCNetVocoder`` — vocoder unit (:513-538)
+* ``DelayedStdoutForSoX``  — int16 PCM on stdout for SoX playback (:543-552)
+
+TPU design: every unit's math is a jitted device program with explicit
+carried state; shapes are bucketed (fixed packet size for the front-end and
+VAD; segment lengths padded to multiples of 50 with masked LSTM state
+propagation, which yields bit-identical results to unpadded processing), so
+the closed loop never recompiles after warm-up.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import struct
+import sys
+import time
+from dataclasses import replace
+from pathlib import Path
+from typing import Any, AsyncGenerator, Callable, Iterable, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.torch_port import load_checkpoint
+from ..ops.hga import HighGammaExtractor
+from ..ops.ringbuffer import SpeechSegmentHistory, VoiceActivityDetectionSmoothing
+from ..utils.audio import write_wav
+from .graph import InputStream, OutputStream, Settings, State, Unit, \
+    publisher, subscriber
+from .messages import ClosedLoopMessage, TimeSeriesMessage
+
+logger = logging.getLogger("dss_tpu.runtime.units")
+
+Transforms = Optional[List[Callable]]
+
+BCI2000_HEADER = struct.Struct("=BBB HH")
+BCI2000_TOPIC = struct.Struct("=BBB").pack(4, 1, 2)
+
+
+def interpret_bci2000_packet(data: bytes) -> np.ndarray:
+    """GenericSignal packet -> float64 [samples, channels] array.
+
+    Uses the native single-pass codec (dss_tpu.native) when built; the
+    fallback inside ``unpack_packet`` reproduces the reference's
+    struct/transpose path (local/units.py:78-82).
+    """
+    from ..native import unpack_packet
+
+    return unpack_packet(data)
+
+
+# region BCI2000 -> ZMQ connector
+class ZMQConnectorSettings(Settings):
+    fs: int
+    port: int = 5556
+    address: str = "localhost"
+    # End the stream after this many seconds without packets (None = never;
+    # the replay/integration harness uses a finite value for clean exits).
+    idle_timeout: Optional[float] = None
+
+
+class ZMQConnector(Unit):
+    """SUB socket on the BCI2000 GenericSignal topic with drop-old semantics
+    (RCVHWM=1), stamping ingest wall-clock time on each message."""
+
+    SETTINGS: ZMQConnectorSettings
+
+    OUTPUT = OutputStream(ClosedLoopMessage)
+
+    def initialize(self) -> None:
+        import zmq
+        import zmq.asyncio
+
+        self._context = zmq.asyncio.Context()
+        self._socket = self._context.socket(zmq.SUB)
+        self._socket.setsockopt(zmq.RCVHWM, 1)
+        address = f"tcp://{self.SETTINGS.address}:{self.SETTINGS.port}"
+        self._socket.connect(address)
+        self._socket.subscribe(BCI2000_TOPIC)
+
+    def shutdown(self) -> None:
+        self._socket.close()
+        self._context.destroy()
+
+    @publisher(OUTPUT)
+    async def process(self) -> AsyncGenerator:
+        import asyncio
+
+        while not self._socket.closed:
+            if self.SETTINGS.idle_timeout is not None:
+                try:
+                    data = await asyncio.wait_for(
+                        self._socket.recv(), timeout=self.SETTINGS.idle_timeout
+                    )
+                except asyncio.TimeoutError:
+                    logger.info("ZMQConnector idle timeout — ending stream.")
+                    return
+            else:
+                data = await self._socket.recv()
+            array = interpret_bci2000_packet(data)
+            yield self.OUTPUT, ClosedLoopMessage(
+                data=array, fs=self.SETTINGS.fs, received_at=time.time()
+            )
+# endregion
+
+
+# region Feature extraction
+class HighGammaActivitySettings(Settings):
+    fs: int
+    nb_electrodes: int
+    window_length: float = 0.05
+    window_shift: float = 0.01
+    l_freq: int = 70
+    h_freq: int = 170
+    pre_transforms: Transforms = None
+    post_transforms: Transforms = None
+    # When set, packets of exactly this many samples run through the single
+    # fully-jitted packet step (zero recompiles, minimal latency).
+    package_size: Optional[int] = None
+    # Channel count of incoming packets (BCI2000 exports carry 128 ECoG
+    # channels + 1 audio channel = 129). When both package_size and
+    # raw_channels are known, the packet program compiles at initialization
+    # instead of on the first live packet.
+    raw_channels: Optional[int] = None
+
+
+class HighGammaActivity(Unit):
+    SETTINGS: HighGammaActivitySettings
+
+    INPUT = InputStream(TimeSeriesMessage)
+    OUTPUT = OutputStream(TimeSeriesMessage)
+
+    def initialize(self) -> None:
+        s = self.SETTINGS
+        self._extractor = HighGammaExtractor(
+            fs=s.fs, nb_electrodes=s.nb_electrodes,
+            window_length=s.window_length, window_shift=s.window_shift,
+            l_freq=s.l_freq, h_freq=s.h_freq,
+            pre_transforms=s.pre_transforms, post_transforms=s.post_transforms,
+        )
+        self._state = self._extractor.init_state()
+        self._first = True
+        if s.package_size is not None and s.raw_channels is not None:
+            # Warm up the packet program NOW so the first real packet isn't
+            # stuck behind a multi-second XLA compile (packets would be
+            # dropped by the ingest's HWM=1 while compiling).
+            dummy = jnp.zeros((s.package_size, s.raw_channels), jnp.float32)
+            feats, _ = self._extractor.packet_step(
+                self._extractor.init_state(), dummy
+            )
+            feats.block_until_ready()
+
+    @subscriber(INPUT)
+    @publisher(OUTPUT)
+    async def process(self, msg: TimeSeriesMessage) -> AsyncGenerator:
+        s = self.SETTINGS
+        if s.package_size is not None and msg.data.shape[0] == s.package_size:
+            feats, self._state = self._extractor.packet_step(
+                self._state, jnp.asarray(msg.data, jnp.float32)
+            )
+            feats = np.asarray(feats)
+            if self._first:
+                feats = feats[self._extractor.warmup_frames(s.package_size):]
+                self._first = False
+        else:
+            feats = self._extractor.extract_features(msg.data)
+        # float64 on the wire: downstream binary logs are .f64 by contract
+        # (reference decode_online.py:135 log.hga.f64).
+        feats = np.asarray(feats, np.float64)
+        yield self.OUTPUT, replace(msg, data=feats, fs=1 / s.window_shift)
+# endregion
+
+
+# region Logging units
+class LoggerSettings(Settings):
+    filename: str
+    overwrite: bool
+    config_filename: Optional[str] = None
+
+
+class BinaryLogger(Unit):
+    """Append each message's raw ``data.tobytes()`` to a binary log.
+
+    Restore with ``np.fromfile(path, dtype=...).reshape((-1, C))``.
+    """
+
+    SETTINGS: LoggerSettings
+    INPUT = InputStream(TimeSeriesMessage)
+
+    def initialize(self) -> None:
+        filename = os.path.abspath(self.SETTINGS.filename)
+        extension = os.path.basename(filename).split(".")[-1]
+        os.makedirs(os.path.dirname(filename), exist_ok=True)
+        if os.path.isfile(filename) and not self.SETTINGS.overwrite:
+            raise PermissionError(
+                f"The specified .{extension} file already exists and "
+                f"overwrite is disabled."
+            )
+        self._fd = open(filename, mode="wb")
+
+    def shutdown(self) -> None:
+        self._fd.flush()
+        self._fd.close()
+
+    @subscriber(INPUT)
+    async def write(self, message: TimeSeriesMessage) -> None:
+        self._fd.write(np.asarray(message.data).tobytes())
+
+
+class VoiceActivityDetectionLogger(Unit):
+    """``.lab`` rows ``start<TAB>stop<TAB>"N frames"`` per speech segment,
+    positioned by the cumulative frame counter (10 ms frames)."""
+
+    SETTINGS: LoggerSettings
+    INPUT = InputStream(ClosedLoopMessage)
+
+    def initialize(self) -> None:
+        filename = os.path.abspath(self.SETTINGS.filename)
+        os.makedirs(os.path.dirname(filename), exist_ok=True)
+        if os.path.isfile(filename) and not self.SETTINGS.overwrite:
+            raise PermissionError(
+                "The specified .lab file already exists and overwrite is "
+                "disabled."
+            )
+        self._fd = open(filename, mode="w")
+
+    def shutdown(self) -> None:
+        self._fd.flush()
+        self._fd.close()
+
+    @subscriber(INPUT)
+    async def write(self, message: ClosedLoopMessage) -> None:
+        start = message.previous_frames * 0.01
+        stop = (message.previous_frames + len(message.data)) * 0.01
+        self._fd.write(f"{start:.02f}\t{stop:.02f}\t{len(message.data)} frames\n")
+
+
+class DelayedWavLoggerSettings(Settings):
+    base_path: Path
+    overwrite: bool
+    prefix: Optional[str] = None
+
+
+class DelayedWavLogger(Unit):
+    """Save each synthesized segment as ``{prefix}_{counter:05d}.wav``."""
+
+    SETTINGS: DelayedWavLoggerSettings
+    INPUT = InputStream(TimeSeriesMessage)
+
+    def initialize(self) -> None:
+        os.makedirs(self.SETTINGS.base_path, exist_ok=True)
+        self._counter = 1
+
+    @subscriber(INPUT)
+    async def write(self, message: TimeSeriesMessage) -> None:
+        prefix = self.SETTINGS.prefix or ""
+        filename = os.path.join(
+            Path(self.SETTINGS.base_path).as_posix(),
+            f"{prefix}_{self._counter:05d}.wav",
+        )
+        self._counter += 1
+        if not (os.path.isfile(filename) and not self.SETTINGS.overwrite):
+            write_wav(filename, np.asarray(message.data), fs=16000)
+# endregion
+
+
+# region Neural VAD and speech decoding units
+class FilterSpeechSegmentsSettings(Settings):
+    nb_features: int
+    fs: int
+    vad_architecture: Any
+    buffer_size: int
+    context_frames: int = 0
+    vad_weights_path: Optional[Path] = None
+    vad_parameters: Optional[dict] = None
+
+
+class FilterSpeechSegments(Unit):
+    """nVAD gate: per-packet LSTM inference with carried (h, c), label
+    smoothing, and segment assembly; emits completed speech segments with
+    ``previous_frames`` set for downstream alignment."""
+
+    SETTINGS: FilterSpeechSegmentsSettings
+    INPUT = InputStream(ClosedLoopMessage)
+    OUTPUT = OutputStream(ClosedLoopMessage)
+
+    def initialize(self) -> None:
+        s = self.SETTINGS
+        self._history = SpeechSegmentHistory(
+            nb_features=s.nb_features, buffer_size=s.buffer_size,
+            context=s.context_frames,
+        )
+        self._smoothing = VoiceActivityDetectionSmoothing(
+            nb_features=s.nb_features, context_frames=5
+        )
+        params = s.vad_parameters or {}
+        self._model = s.vad_architecture(**params)
+        if s.vad_weights_path is not None:
+            self._params = load_checkpoint(
+                Path(s.vad_weights_path).as_posix(), self._model.nb_layer,
+                bidirectional=False, head_name="classifier",
+            )
+        else:
+            import jax
+
+            self._params = self._model.init(jax.random.PRNGKey(0))
+        self._state = self._model.create_new_initial_state(batch_size=1)
+        self._frame_counter = 0
+
+        import jax
+
+        self._infer = jax.jit(
+            lambda p, x, st: self._model.apply(p, x, st)
+        )
+        # Warm both per-packet shapes (warm-start first packet emits fewer
+        # frames than the steady state) so live packets never hit a compile.
+        for frames in (1, 4):
+            logits, _ = self._infer(
+                self._params,
+                jnp.zeros((1, frames, s.nb_features), jnp.float32),
+                self._model.create_new_initial_state(batch_size=1),
+            )
+        jax.block_until_ready(logits)
+
+    @subscriber(INPUT)
+    @publisher(OUTPUT)
+    async def process(self, msg: ClosedLoopMessage) -> AsyncGenerator:
+        x = jnp.asarray(np.asarray(msg.data)[None], jnp.float32)
+        logits, self._state = self._infer(self._params, x, self._state)
+        predictions = np.asarray(jnp.argmax(logits, axis=2)).ravel()
+
+        data, predictions = self._smoothing.insert(
+            data=np.asarray(msg.data), speech_labels=predictions
+        )
+        speech_segments = self._history.insert(data=data,
+                                               speech_labels=predictions)
+
+        self._frame_counter += len(msg.data)
+        for segment in speech_segments:
+            previous_frames = (
+                self._frame_counter - len(segment)
+                - (len(msg.data) - int(np.count_nonzero(predictions)))
+            )
+            yield self.OUTPUT, replace(
+                msg, data=segment, fs=100, previous_frames=previous_frames
+            )
+
+
+class RecurrentNeuralDecodingModelSettings(Settings):
+    path_to_model_weights: Optional[str]
+    model: Any
+    params: Optional[dict]
+    config_filename: Optional[str] = None
+    length_multiple: int = 50  # segment padding bucket (masked; exact)
+
+
+class RecurrentNeuralDecodingModel(Unit):
+    """Decode one complete speech segment per message; state is reset after
+    every segment (reference local/units.py:507)."""
+
+    SETTINGS: RecurrentNeuralDecodingModelSettings
+    INPUT = InputStream(TimeSeriesMessage)
+    OUTPUT = OutputStream(TimeSeriesMessage)
+
+    def initialize(self) -> None:
+        s = self.SETTINGS
+        params = s.params or {}
+        self._model = s.model(**params)
+        if s.path_to_model_weights is not None:
+            self._params = load_checkpoint(
+                str(s.path_to_model_weights), self._model.nb_layer,
+                bidirectional=True, head_name="regressor",
+            )
+        else:
+            import jax
+
+            self._params = self._model.init(jax.random.PRNGKey(0))
+
+        import jax
+
+        self._infer = jax.jit(
+            lambda p, x, m: self._model.apply(p, x, None, mask=m)
+        )
+        # Warm the smallest segment bucket; longer buckets compile on first
+        # use (the per-word path tolerates one-off latency better than the
+        # per-packet path, and buckets are few).
+        electrodes = self._model.nb_electrodes
+        mult = self.SETTINGS.length_multiple
+        pred, _ = self._infer(
+            self._params,
+            jnp.zeros((1, 2 * mult, electrodes), jnp.float32),
+            jnp.ones((1, 2 * mult), jnp.float32),
+        )
+        pred.block_until_ready()
+
+    @subscriber(INPUT)
+    @publisher(OUTPUT)
+    async def decode(self, msg: TimeSeriesMessage) -> AsyncGenerator:
+        data = np.asarray(msg.data, np.float32)
+        T = len(data)
+        mult = self.SETTINGS.length_multiple
+        Tp = -(-T // mult) * mult
+        x = np.zeros((1, Tp, data.shape[1]), np.float32)
+        x[0, :T] = data
+        mask = np.zeros((1, Tp), np.float32)
+        mask[0, :T] = 1.0
+        pred, _ = self._infer(self._params, jnp.asarray(x), jnp.asarray(mask))
+        predictions = np.asarray(pred)[0, :T]
+        yield self.OUTPUT, replace(msg, data=predictions, fs=100)
+# endregion
+
+
+# region Vocoder unit
+class DelayedLPCNetVocoderSettings(Settings):
+    backend: str = "dsp"
+    weights: Optional[str] = None
+    length_multiple: int = 10  # frame-count bucket for jit shape reuse
+
+
+class DelayedLPCNetVocoder(Unit):
+    """Synthesize a whole decoded segment (all frames in one compiled call)."""
+
+    SETTINGS: Optional[DelayedLPCNetVocoderSettings]
+    INPUT = InputStream(TimeSeriesMessage)
+    OUTPUT = OutputStream(TimeSeriesMessage)
+
+    def initialize(self) -> None:
+        from ..vocoder import LPCNet
+
+        s = self.SETTINGS or DelayedLPCNetVocoderSettings()
+        self._lpcnet = LPCNet(backend=s.backend, weights=s.weights)
+
+    def shutdown(self) -> None:
+        del self._lpcnet
+
+    @subscriber(INPUT)
+    @publisher(OUTPUT)
+    async def synthesize(self, msg: TimeSeriesMessage) -> AsyncGenerator:
+        features = np.asarray(msg.data, np.float32)
+        # Bucket the frame count so segment lengths reuse compiled programs;
+        # pad with repeats of the last frame and trim the emitted samples.
+        T = len(features)
+        mult = (self.SETTINGS or DelayedLPCNetVocoderSettings()).length_multiple
+        Tp = -(-T // mult) * mult
+        if Tp != T:
+            pad = np.repeat(features[-1:], Tp - T, axis=0)
+            features = np.concatenate([features, pad], axis=0)
+        acoustic = self._lpcnet.synthesize_frames(features)[: T * 160]
+        yield self.OUTPUT, replace(msg, data=acoustic, fs=16000)
+# endregion
+
+
+# region Output unit
+class DelayedStdoutForSoX(Unit):
+    """Write int16 PCM to stdout for ``play -t raw -r 16000 ...``."""
+
+    INPUT = InputStream(ClosedLoopMessage)
+
+    @subscriber(INPUT)
+    async def print(self, msg: ClosedLoopMessage) -> None:
+        sys.stdout.buffer.write(np.asarray(msg.data).tobytes())
+        sys.stdout.flush()
+# endregion

@@ -1,0 +1,58 @@
+"""LPCNet-equivalent vocoder subsystem, TPU-native.
+
+Capability target: reference extensions/lpcnet/ (Cython binding over the
+xiph LPCNet C library, which is NOT vendored in the reference tree): a
+20-feature (18 Bark-scale cepstra + pitch period + pitch correlation) frame
+interface producing 160 samples of 16 kHz int16 PCM per 10 ms frame
+(LPCNet.pyx:10,30-40), plus the feature encoder used by corpus preparation
+(LPCNet.pyx:43-87).
+
+Because the reference ships no vocoder weights, this subsystem is
+*self-consistent* rather than bit-matching: the encoder and the two decoder
+backends share one spectral definition (dss_tpu.vocoder.lpc).
+
+Backends:
+* ``LPCVocoder``    (dsp.py) — deterministic source-filter LPC synthesis;
+  zero-training, used for tests and as a robust fallback.
+* ``LPCNetVocoder`` (net.py) — neural autoregressive vocoder (frame-rate
+  conditioning network + sample-rate GRU sampler), trainable, with a Pallas
+  on-chip sampling kernel and batched multi-stream synthesis.
+"""
+
+from .mulaw import mulaw_encode, mulaw_decode, MULAW_LEVELS
+from .lpc import (
+    NB_BANDS,
+    NB_FEATURES,
+    LPC_ORDER,
+    FRAME_SIZE,
+    band_energies,
+    cepstrum_from_bands,
+    bands_from_cepstrum,
+    psd_from_bands,
+    lpc_from_bands,
+)
+from .features import LPCFeatureEncoder
+from .dsp import LPCVocoder
+from .net import LPCNetModel
+from .lpcnet import LPCNet, BatchedLPCNet, LPCFeatureFile
+
+__all__ = [
+    "mulaw_encode",
+    "mulaw_decode",
+    "MULAW_LEVELS",
+    "NB_BANDS",
+    "NB_FEATURES",
+    "LPC_ORDER",
+    "FRAME_SIZE",
+    "band_energies",
+    "cepstrum_from_bands",
+    "bands_from_cepstrum",
+    "psd_from_bands",
+    "lpc_from_bands",
+    "LPCFeatureEncoder",
+    "LPCVocoder",
+    "LPCNetModel",
+    "LPCNet",
+    "BatchedLPCNet",
+    "LPCFeatureFile",
+]

@@ -1,0 +1,256 @@
+"""Neural autoregressive vocoder (LPCNet-architecture-equivalent) in JAX.
+
+Architecture (capability match to the LPCNet C library the reference wraps;
+sizes are MXU-aligned re-choices, weights are trained with
+dss_tpu.train.trainer_vocoder — the reference ships no weights):
+
+* frame-rate network: two causal 3-tap convs + two dense layers (all tanh)
+  mapping the 20-dim features to a 128-dim conditioning vector per frame;
+* sample-rate network, per 16 kHz sample: mu-law embeddings (256 x 128) of
+  (last signal, last excitation, current LPC prediction), GRU-A (384 units,
+  optionally block-sparse recurrent mask), GRU-B (32 units), dual-FC softmax
+  over 256 mu-law excitation levels; sampled excitation + LPC prediction
+  gives the next sample.  LPC coefficients come from the shared cepstral
+  envelope definition (vocoder/lpc.py), exactly like LPCNet derives its
+  prediction filter from the transmitted cepstrum.
+
+TPU design: the whole batch of streams advances through the sample loop in
+one ``lax.scan`` whose body is a handful of [B, .] x [., .] matmuls —
+batching is what feeds the MXU.  Sampling uses precomputed Gumbel noise so
+the compiled loop is deterministic given its inputs (and so the Pallas
+sampler kernel can be cross-checked bit-for-bit).  Temperature sharpening is
+pitch-correlation-dependent, as in LPCNet.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lpc import FRAME_SIZE, LPC_ORDER, NB_BANDS, NB_FEATURES, PREEMPH, \
+    bands_from_cepstrum, lpc_from_bands
+from .mulaw import MULAW_LEVELS, mulaw_decode, mulaw_encode
+
+EMBED_DIM = 128
+COND_DIM = 128
+GRU_A_UNITS = 384
+GRU_B_UNITS = 32
+CONV_WIDTH = 3
+FEAT_CONTEXT = 2 * (CONV_WIDTH - 1)  # left context of the two causal convs
+
+
+class LPCNetModel:
+    """Hyperparameters + functional init/apply for the neural vocoder."""
+
+    def __init__(self, gru_a_units: int = GRU_A_UNITS,
+                 gru_b_units: int = GRU_B_UNITS, cond_dim: int = COND_DIM,
+                 embed_dim: int = EMBED_DIM):
+        self.gru_a_units = gru_a_units
+        self.gru_b_units = gru_b_units
+        self.cond_dim = cond_dim
+        self.embed_dim = embed_dim
+
+    # -- parameters ----------------------------------------------------
+    def init(self, key: jax.Array):
+        ks = jax.random.split(key, 16)
+        g = jax.nn.initializers.glorot_uniform()
+        ed, cd, ga, gb = self.embed_dim, self.cond_dim, self.gru_a_units, self.gru_b_units
+        gru_a_in = 3 * ed + cd
+        gru_b_in = ga + cd
+        return {
+            "emb_sig": g(ks[0], (MULAW_LEVELS, ed)),
+            "emb_pred": g(ks[1], (MULAW_LEVELS, ed)),
+            "emb_exc": g(ks[2], (MULAW_LEVELS, ed)),
+            "conv1_w": g(ks[3], (CONV_WIDTH * NB_FEATURES, cd)),
+            "conv1_b": jnp.zeros(cd),
+            "conv2_w": g(ks[4], (CONV_WIDTH * cd, cd)),
+            "conv2_b": jnp.zeros(cd),
+            "fc1_w": g(ks[5], (cd, cd)),
+            "fc1_b": jnp.zeros(cd),
+            "fc2_w": g(ks[6], (cd, cd)),
+            "fc2_b": jnp.zeros(cd),
+            "gru_a_wx": g(ks[7], (gru_a_in, 3 * ga)),
+            "gru_a_wh": g(ks[8], (ga, 3 * ga)),
+            "gru_a_bx": jnp.zeros(3 * ga),
+            "gru_a_bh": jnp.zeros(3 * ga),
+            "gru_b_wx": g(ks[9], (gru_b_in, 3 * gb)),
+            "gru_b_wh": g(ks[10], (gb, 3 * gb)),
+            "gru_b_bx": jnp.zeros(3 * gb),
+            "gru_b_bh": jnp.zeros(3 * gb),
+            "fc_out1_w": g(ks[11], (gb, MULAW_LEVELS)),
+            "fc_out2_w": g(ks[12], (gb, MULAW_LEVELS)),
+            "fc_out1_g": jnp.ones(MULAW_LEVELS),
+            "fc_out2_g": jnp.ones(MULAW_LEVELS),
+            "fc_out_b": jnp.zeros(MULAW_LEVELS),
+            # Block-sparse mask over GRU-A recurrent weights (all-ones =
+            # dense; trainer may prune to LPCNet-style 16x1 block sparsity).
+            "gru_a_mask": jnp.ones((ga, 3 * ga)),
+        }
+
+    # -- frame-rate network --------------------------------------------
+    def condition(self, params, features: jnp.ndarray) -> jnp.ndarray:
+        """features [B, T, 20] (with FEAT_CONTEXT left-padding expected by
+        the caller for streaming) -> cond [B, T, cond_dim]."""
+        x = features
+        B, T, F = x.shape
+
+        def causal_conv(x, w, b, width):
+            pads = [x[:, :1] * 0.0] * (width - 1)
+            xp = jnp.concatenate(pads + [x], axis=1)
+            cols = [xp[:, i:i + T] for i in range(width)]
+            stacked = jnp.concatenate(cols, axis=-1)  # [B, T, width*F]
+            return jnp.tanh(stacked @ w + b)
+
+        h = causal_conv(x, params["conv1_w"], params["conv1_b"], CONV_WIDTH)
+        h = causal_conv(h, params["conv2_w"], params["conv2_b"], CONV_WIDTH)
+        h = jnp.tanh(h @ params["fc1_w"] + params["fc1_b"])
+        h = jnp.tanh(h @ params["fc2_w"] + params["fc2_b"])
+        return h
+
+    # -- sample-rate network (one step, batched) ------------------------
+    def _gru(self, x, h, wx, wh, bx, bh, mask=None):
+        gx = x @ wx + bx
+        wh_eff = wh if mask is None else wh * mask
+        gh = h @ wh_eff + bh
+        H = h.shape[-1]
+        rx, zx, nx = gx[..., :H], gx[..., H:2 * H], gx[..., 2 * H:]
+        rh, zh, nh = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
+        r = jax.nn.sigmoid(rx + rh)
+        z = jax.nn.sigmoid(zx + zh)
+        n = jnp.tanh(nx + r * nh)
+        return (1.0 - z) * n + z * h
+
+    def sample_logits(self, params, h_b: jnp.ndarray) -> jnp.ndarray:
+        t1 = jnp.tanh(h_b @ params["fc_out1_w"]) * params["fc_out1_g"]
+        t2 = jnp.tanh(h_b @ params["fc_out2_w"]) * params["fc_out2_g"]
+        return t1 + t2 + params["fc_out_b"]
+
+    def sample_step(self, params, carry, cond, lpc, gumbel, temperature):
+        """One autoregressive step for a batch of streams.
+
+        carry: (h_a [B,ga], h_b [B,gb], sig_mem [B,16], exc_idx [B,])
+        cond [B, cond_dim]; lpc [B, 16]; gumbel [B, 256]; temperature [B, 1].
+        Returns (carry, (sample [B], exc_idx [B], logits [B,256])).
+        """
+        h_a, h_b, sig_mem, exc_idx = carry
+        pred = -jnp.sum(sig_mem * lpc, axis=-1)  # [B]
+
+        sig_idx = mulaw_encode(sig_mem[:, 0])
+        pred_idx = mulaw_encode(pred)
+
+        x_a = jnp.concatenate([
+            params["emb_sig"][sig_idx],
+            params["emb_pred"][pred_idx],
+            params["emb_exc"][exc_idx],
+            cond,
+        ], axis=-1)
+        h_a = self._gru(x_a, h_a, params["gru_a_wx"], params["gru_a_wh"],
+                        params["gru_a_bx"], params["gru_a_bh"],
+                        params["gru_a_mask"])
+        x_b = jnp.concatenate([h_a, cond], axis=-1)
+        h_b = self._gru(x_b, h_b, params["gru_b_wx"], params["gru_b_wh"],
+                        params["gru_b_bx"], params["gru_b_bh"])
+        logits = self.sample_logits(params, h_b)
+
+        new_exc = jnp.argmax(logits * temperature + gumbel, axis=-1)
+        e = mulaw_decode(new_exc)
+        sample = jnp.clip(pred + e, -1.0, 1.0)
+        sig_mem = jnp.concatenate([sample[:, None], sig_mem[:, :-1]], axis=1)
+        return (h_a, h_b, sig_mem, new_exc), (sample, new_exc, logits)
+
+
+class NetVocoderState(NamedTuple):
+    h_a: jnp.ndarray        # [B, GRU_A]
+    h_b: jnp.ndarray        # [B, GRU_B]
+    sig_mem: jnp.ndarray    # [B, LPC_ORDER]
+    exc_idx: jnp.ndarray    # [B] int32
+    feat_mem: jnp.ndarray   # [B, FEAT_CONTEXT, 20] conv left-context
+    deemph: jnp.ndarray     # [B]
+    rng: jax.Array
+
+
+def net_vocoder_init(model: LPCNetModel, batch: int, seed: int = 0
+                     ) -> NetVocoderState:
+    return NetVocoderState(
+        h_a=jnp.zeros((batch, model.gru_a_units), jnp.float32),
+        h_b=jnp.zeros((batch, model.gru_b_units), jnp.float32),
+        sig_mem=jnp.zeros((batch, LPC_ORDER), jnp.float32),
+        exc_idx=jnp.full((batch,), MULAW_LEVELS // 2, jnp.int32),
+        feat_mem=jnp.zeros((batch, FEAT_CONTEXT, NB_FEATURES), jnp.float32),
+        deemph=jnp.zeros((batch,), jnp.float32),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+@partial(jax.jit, static_argnames=("model", "use_pallas"))
+def net_synthesize_frames(model: LPCNetModel, params,
+                          state: NetVocoderState, features: jnp.ndarray,
+                          use_pallas: bool = False):
+    """features [B, T, 20] -> (pcm [B, T*160] in [-1,1], new state)."""
+    B, T, _ = features.shape
+
+    feats_ctx = jnp.concatenate([state.feat_mem, features], axis=1)
+    cond_all = model.condition(params, feats_ctx)[:, FEAT_CONTEXT:]  # [B,T,cd]
+
+    bands = bands_from_cepstrum(features[..., :NB_BANDS])
+    lpc_all, _ = jax.vmap(jax.vmap(lpc_from_bands))(bands)  # [B, T, 16]
+
+    corr = jnp.clip(features[..., NB_BANDS + 1] + 0.5, 0.0, 1.0)  # [B, T]
+    temperature = (1.0 + 1.5 * corr)[..., None]  # sharper when voiced
+
+    rng, gkey = jax.random.split(state.rng)
+    gumbel = jax.random.gumbel(gkey, (T, FRAME_SIZE, B, MULAW_LEVELS),
+                               jnp.float32)
+
+    if use_pallas:
+        from ..ops.pallas.sampler import sampler_frames_pallas
+
+        (h_a, h_b, sig_mem, exc_idx), sig = sampler_frames_pallas(
+            model, params,
+            (state.h_a, state.h_b, state.sig_mem, state.exc_idx),
+            cond_all, lpc_all, gumbel, temperature,
+        )
+    else:
+        def frame_body(carry, frame_in):
+            cond_t, lpc_t, gumbel_t, temp_t = frame_in
+
+            def step(c, g):
+                c, (sample, _, _) = model.sample_step(
+                    params, c, cond_t, lpc_t, g, temp_t
+                )
+                return c, sample
+
+            carry, samples = jax.lax.scan(step, carry, gumbel_t)
+            return carry, samples  # [FRAME_SIZE, B]
+
+        carry0 = (state.h_a, state.h_b, state.sig_mem, state.exc_idx)
+        frame_ins = (
+            jnp.moveaxis(cond_all, 1, 0),   # [T, B, cd]
+            jnp.moveaxis(lpc_all, 1, 0),    # [T, B, 16]
+            gumbel,                          # [T, 160, B, 256]
+            jnp.moveaxis(temperature, 1, 0),
+        )
+        (h_a, h_b, sig_mem, exc_idx), sig = jax.lax.scan(
+            frame_body, carry0, frame_ins
+        )
+        sig = jnp.moveaxis(sig.reshape(T * FRAME_SIZE, B), 0, 1)  # [B, S]
+
+    # De-emphasis across the synthesized block.
+    def deemph_step(y_prev, s_t):
+        y = s_t + PREEMPH * y_prev
+        return y, y
+
+    deemph, pcm = jax.lax.scan(deemph_step, state.deemph,
+                               jnp.moveaxis(sig, 1, 0))
+    pcm = jnp.clip(jnp.moveaxis(pcm, 0, 1), -1.0, 1.0)
+
+    new_state = NetVocoderState(
+        h_a=h_a, h_b=h_b, sig_mem=sig_mem, exc_idx=exc_idx,
+        feat_mem=feats_ctx[:, -FEAT_CONTEXT:] if FEAT_CONTEXT else state.feat_mem,
+        deemph=deemph, rng=rng,
+    )
+    return pcm, new_state

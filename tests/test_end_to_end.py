@@ -1,0 +1,172 @@
+"""Closed-loop integration test: replay amplifier -> ZMQ -> feature
+extraction -> VAD gating -> decode -> vocoder -> logs, without hardware.
+
+This is the reference's own validation strategy ("closed loop without a real
+amplifier", development_amplifier.py:156-158) turned into an automated test:
+a synthetic BCI2000 recording with one loud speech-like burst streams over
+real ZMQ sockets into the full Neuroprosthesis graph; the burst must come out
+the other end as a synthesized wav segment plus correctly-formatted logs.
+"""
+
+import os
+import sys
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.io import savemat
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
+
+PORT = 5899  # avoid clashing with anything on the default 5556
+
+
+def _make_session_mat(path, fs=1000, seconds=6.0, burst=(2.0, 3.5)):
+    """128-channel noise with a common loud-envelope burst (independent
+    per-channel noise so CAR keeps the power)."""
+    rng = np.random.default_rng(7)
+    T = int(seconds * fs)
+    envelope = np.full(T, 0.05)
+    envelope[int(burst[0] * fs):int(burst[1] * fs)] = 2.0
+    signal = rng.normal(size=(T, 129)) * envelope[:, None]
+    code = np.zeros(T, np.int16)
+    code[int(burst[0] * fs):int(burst[1] * fs)] = 1
+    savemat(str(path), {
+        "signal": signal,
+        "parameters": {
+            "SamplingRate": {"NumericValue": fs},
+            "SourceChGain": {"NumericValue": np.ones(129)},
+            "Stimuli": {"Value": np.array([["Enter"]])},
+        },
+        "states": {"StimulusCode": code},
+    })
+
+
+class _ThresholdVAD:
+    """Deterministic stand-in for the trained nVAD: speech iff the mean
+    feature crosses a threshold (keeps the integration test independent of
+    training)."""
+
+    nb_layer = 1
+
+    def __init__(self, threshold=-2.5, **_):
+        self.threshold = threshold
+
+    def init(self, key):
+        return {}
+
+    def create_new_initial_state(self, batch_size):
+        return jnp.zeros((1, batch_size, 1))
+
+    def apply(self, params, x, state=None, **_):
+        speech = jnp.mean(x, axis=-1, keepdims=True) > self.threshold
+        logits = jnp.concatenate([1.0 - speech, speech.astype(jnp.float32)],
+                                 axis=-1)
+        return logits, state
+
+
+def test_closed_loop(tmp_path, monkeypatch):
+    mat_path = tmp_path / "KeywordSynthesis_Overt_R01.mat"
+    _make_session_mat(mat_path)
+
+    import decode_online
+    from development_amplifier import Amplifier
+
+    run_dir = tmp_path / "run"
+    os.makedirs(run_dir)
+
+    settings = decode_online.NeuroprosthesisSettings(
+        destination_dir=str(run_dir),
+        address="127.0.0.1",
+        fs=1000,
+        package_size=40,
+        idle_timeout=3.0,
+        vocoder_backend="dsp",
+    )
+    system = decode_online.Neuroprosthesis(settings)
+
+    # Swap the trained VAD for the deterministic threshold stand-in.
+    original_configure = system.configure
+
+    def configure():
+        original_configure()
+        s = system.SPEECH_FILTER.SETTINGS
+        system.SPEECH_FILTER.apply_settings(
+            type(s)(
+                nb_features=s.nb_features, fs=s.fs, buffer_size=s.buffer_size,
+                context_frames=s.context_frames,
+                vad_architecture=_ThresholdVAD,
+                vad_weights_path=None, vad_parameters=None,
+            )
+        )
+
+    system.configure = configure
+    # Point the connector at the test port.
+    from dss_tpu.runtime.units import ZMQConnectorSettings
+
+    def reconfigure_port():
+        configure()
+        system.CONNECTOR.apply_settings(ZMQConnectorSettings(
+            fs=1000, address="127.0.0.1", port=PORT, idle_timeout=3.0,
+        ))
+
+    system.configure = reconfigure_port
+
+    # Don't spam the test's stdout with PCM: swap in a sink object.
+    import io
+
+    class _FakeStdout:
+        def __init__(self):
+            self.buffer = io.BytesIO()
+
+        def flush(self):
+            pass
+
+    fake_stdout = _FakeStdout()
+    import dss_tpu.runtime.units as units_mod
+
+    monkeypatch.setattr(units_mod.sys, "stdout", fake_stdout)
+
+    amplifier = Amplifier(mat_file=str(mat_path), package_size=40,
+                          loop=False, seconds=0, port=PORT)
+    amp_thread = threading.Thread(target=amplifier.stream, daemon=True)
+    amp_thread.start()
+
+    import dss_tpu.runtime as ez
+
+    ez.run_system(system)
+    amp_thread.join(timeout=10)
+    amplifier.close()
+
+    # Raw log: one float64 row per streamed sample, all 129 recorded
+    # channels (128 ECoG + audio) exactly as the amplifier sends them.
+    raw = np.fromfile(run_dir / "log.raw.f64", np.float64).reshape(-1, 129)
+    assert len(raw) >= 5000  # ~6 s at 1 kHz (allow drop-old losses)
+
+    # HGA log: 64 z-scored feature channels at 100 Hz.
+    hga = np.fromfile(run_dir / "log.hga.f64", np.float64).reshape(-1, 64)
+    assert len(hga) >= len(raw) // 10 - 10
+
+    # The burst must have been segmented, decoded, and vocoded.
+    vad_lines = (run_dir / "log.vad.lab").read_text().strip().split("\n")
+    assert len(vad_lines) >= 1 and vad_lines[0]
+    start, stop, label = vad_lines[0].split("\t")
+    # Burst spans 2.0-3.5 s; segment includes 0.5 s trailing context and the
+    # smoothing delay, so start should be near 2 s (within the 1 s warmup
+    # fuzz) and the duration > 1 s.
+    assert 1.0 <= float(start) <= 3.0
+    assert float(stop) - float(start) >= 1.0
+    assert label.endswith("frames")
+
+    lpc = np.fromfile(run_dir / "log.lpc.f32", np.float32).reshape(-1, 20)
+    assert len(lpc) >= 100  # >= 1 s of decoded frames
+
+    wav_file = run_dir / "reco" / "reco_00001.wav"
+    assert wav_file.exists()
+    from scipy.io.wavfile import read as wavread
+
+    fs, pcm = wavread(str(wav_file))
+    assert fs == 16000
+    assert len(pcm) == len(lpc) * 160
+    assert pcm.dtype == np.int16

@@ -1,0 +1,126 @@
+"""Runtime tests: graph plumbing, packet codec, loggers, unit behavior."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+import dss_tpu.runtime as ez
+from dss_tpu.native import float_to_pcm16, pack_packet, unpack_packet
+from dss_tpu.runtime.messages import ClosedLoopMessage, TimeSeriesMessage
+from dss_tpu.runtime.units import (
+    BinaryLogger,
+    LoggerSettings,
+    VoiceActivityDetectionLogger,
+    interpret_bci2000_packet,
+)
+
+
+def test_packet_codec_roundtrip(rng):
+    data = rng.normal(size=(40, 128)).astype(np.float32)
+    buf = pack_packet(data)
+    assert len(buf) == 7 + 40 * 128 * 4
+    out = unpack_packet(buf)
+    assert out.dtype == np.float64 and out.shape == (40, 128)
+    np.testing.assert_array_equal(out.astype(np.float32), data)
+    # The connector's entry point agrees.
+    np.testing.assert_array_equal(interpret_bci2000_packet(buf), out)
+
+
+def test_pcm16_conversion():
+    x = np.array([-2.0, -1.0, 0.0, 0.25, 1.0, 2.0], np.float32)
+    out = float_to_pcm16(x)
+    assert out.dtype == np.int16
+    assert out[0] == -32768 and out[-1] == 32767
+    assert out[3] == int(round(0.25 * 32767))
+
+
+class _NumberSourceSettings(ez.Settings):
+    count: int
+
+
+class _NumberSource(ez.Unit):
+    SETTINGS: _NumberSourceSettings
+    OUTPUT = ez.OutputStream(TimeSeriesMessage)
+
+    @ez.publisher(OUTPUT)
+    async def run(self):
+        for i in range(self.SETTINGS.count):
+            yield self.OUTPUT, TimeSeriesMessage(data=np.array([i]), fs=1)
+
+
+class _Doubler(ez.Unit):
+    INPUT = ez.InputStream(TimeSeriesMessage)
+    OUTPUT = ez.OutputStream(TimeSeriesMessage)
+
+    @ez.subscriber(INPUT)
+    @ez.publisher(OUTPUT)
+    async def process(self, msg):
+        yield self.OUTPUT, TimeSeriesMessage(data=msg.data * 2, fs=msg.fs)
+
+
+class _Collector(ez.Unit):
+    INPUT = ez.InputStream(TimeSeriesMessage)
+
+    def initialize(self):
+        self.items = []
+
+    @ez.subscriber(INPUT)
+    async def collect(self, msg):
+        self.items.append(int(msg.data[0]))
+
+
+class _PipeSystem(ez.System):
+    SOURCE = _NumberSource()
+    DOUBLER = _Doubler()
+    SINK = _Collector()
+    TAP = _Collector()
+
+    def configure(self):
+        self.SOURCE.apply_settings(_NumberSourceSettings(count=5))
+
+    def network(self):
+        return (
+            (self.SOURCE.OUTPUT, self.DOUBLER.INPUT),
+            (self.DOUBLER.OUTPUT, self.SINK.INPUT),
+            (self.SOURCE.OUTPUT, self.TAP.INPUT),  # fan-out tap
+        )
+
+
+def test_graph_pipeline_and_fanout():
+    system = _PipeSystem()
+    ez.run_system(system)
+    assert system.SINK.items == [0, 2, 4, 6, 8]
+    assert system.TAP.items == [0, 1, 2, 3, 4]
+
+
+def test_binary_logger(tmp_path, rng):
+    fn = tmp_path / "log.hga.f64"
+    logger = BinaryLogger()
+    logger.apply_settings(LoggerSettings(filename=str(fn), overwrite=True))
+    logger.initialize()
+    data = rng.normal(size=(4, 3))
+    asyncio.run(logger.write(TimeSeriesMessage(data=data, fs=100)))
+    asyncio.run(logger.write(TimeSeriesMessage(data=data * 2, fs=100)))
+    logger.shutdown()
+    restored = np.fromfile(fn, dtype=np.float64).reshape((-1, 3))
+    np.testing.assert_array_equal(restored[:4], data)
+    np.testing.assert_array_equal(restored[4:], data * 2)
+
+    # Overwrite protection.
+    logger2 = BinaryLogger()
+    logger2.apply_settings(LoggerSettings(filename=str(fn), overwrite=False))
+    with pytest.raises(PermissionError):
+        logger2.initialize()
+
+
+def test_vad_logger_format(tmp_path):
+    fn = tmp_path / "log.vad.lab"
+    logger = VoiceActivityDetectionLogger()
+    logger.apply_settings(LoggerSettings(filename=str(fn), overwrite=True))
+    logger.initialize()
+    msg = ClosedLoopMessage(data=np.zeros((120, 2)), fs=100,
+                            previous_frames=250)
+    asyncio.run(logger.write(msg))
+    logger.shutdown()
+    assert fn.read_text() == "2.50\t3.70\t120 frames\n"

@@ -1,0 +1,158 @@
+"""Vocoder subsystem tests: mu-law, spectral definitions, LPC recovery,
+encoder/decoder consistency, API surface."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dss_tpu.vocoder import (
+    FRAME_SIZE,
+    LPCFeatureEncoder,
+    LPCNet,
+    LPCVocoder,
+    NB_BANDS,
+    NB_FEATURES,
+    bands_from_cepstrum,
+    band_energies,
+    cepstrum_from_bands,
+    mulaw_decode,
+    mulaw_encode,
+    psd_from_bands,
+)
+from dss_tpu.vocoder.lpc import FREQ_SIZE, levinson
+
+
+def test_mulaw_roundtrip():
+    x = jnp.linspace(-1, 1, 256)
+    idx = mulaw_encode(x)
+    back = mulaw_decode(idx)
+    assert np.abs(np.asarray(back) - np.asarray(x)).max() < 0.04  # 8-bit
+    # Exact identity on the 256 quantization levels.
+    levels = mulaw_decode(jnp.arange(256))
+    again = mulaw_encode(levels)
+    np.testing.assert_array_equal(np.asarray(again), np.arange(256))
+
+
+def test_band_matrix_partition_of_unity():
+    psd = np.ones((1, FREQ_SIZE), np.float32)
+    bands = np.asarray(band_energies(jnp.asarray(psd)))
+    # Bin weights sum to 1 across bands -> total energy preserved.
+    assert abs(bands.sum() - FREQ_SIZE) < 1e-3
+
+
+def test_cepstrum_roundtrip():
+    rng = np.random.default_rng(0)
+    bands = np.abs(rng.normal(size=(5, NB_BANDS))).astype(np.float32) + 0.1
+    ceps = cepstrum_from_bands(jnp.asarray(bands))
+    back = np.asarray(bands_from_cepstrum(ceps))
+    np.testing.assert_allclose(back, bands, rtol=1e-3)
+
+
+def test_levinson_recovers_ar_process():
+    """AR(2) process autocorrelation -> Levinson must recover coefficients."""
+    # x[n] = 1.2 x[n-1] - 0.5 x[n-2] + e[n]
+    rng = np.random.default_rng(0)
+    x = np.zeros(20000)
+    e = rng.normal(size=20000)
+    for n in range(2, 20000):
+        x[n] = 1.2 * x[n - 1] - 0.5 * x[n - 2] + e[n]
+    r = np.array([np.dot(x[: 20000 - k], x[k:]) / 20000 for k in range(17)])
+    a, err = levinson(jnp.asarray(r, jnp.float32))
+    a = np.asarray(a)
+    # pred[n] = -sum a_k x[n-k]  =>  a[0] ~ -1.2, a[1] ~ +0.5
+    assert abs(a[0] + 1.2) < 0.05
+    assert abs(a[1] - 0.5) < 0.05
+    assert float(err) > 0
+
+
+def test_encoder_shapes_and_pitch():
+    """A pure tone must produce the right pitch period and high correlation."""
+    fs = 16000
+    f0 = 160.0  # period = 100 samples
+    t = np.arange(fs) / fs
+    tone = (0.4 * np.sin(2 * np.pi * f0 * t) * 32767).astype(np.int16)
+    enc = LPCFeatureEncoder()
+    feats = enc.compute_LPC_features(tone)
+    assert feats.shape == (fs // FRAME_SIZE, NB_FEATURES)
+    # Steady-state frames: decode the pitch features.
+    from dss_tpu.vocoder.features import pitch_feature_decode
+
+    period, corr = pitch_feature_decode(
+        jnp.asarray(feats[20:, 18]), jnp.asarray(feats[20:, 19])
+    )
+    periods = np.asarray(period)
+    corrs = np.asarray(corr)
+    # Accept the fundamental or a harmonic-consistent subperiod (50 or 100).
+    assert np.all((np.abs(periods - 100) <= 2) | (np.abs(periods - 50) <= 2))
+    assert corrs.mean() > 0.8
+
+
+def test_encoder_streaming_equals_offline():
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=FRAME_SIZE * 20) * 3000).astype(np.int16)
+    off = LPCFeatureEncoder().compute_LPC_features(audio)
+    enc = LPCFeatureEncoder()
+    chunks = [
+        enc.compute_LPC_features(audio[i:i + 4 * FRAME_SIZE])
+        for i in range(0, len(audio), 4 * FRAME_SIZE)
+    ]
+    np.testing.assert_allclose(np.concatenate(chunks), off, atol=1e-4)
+
+
+def test_dsp_vocoder_frame_contract():
+    voc = LPCVocoder()
+    feats = np.zeros(NB_FEATURES, np.float32)
+    feats[18] = 0.0   # period 100
+    feats[19] = 0.4   # corr 0.9 -> voiced
+    pcm = voc.synthesize(feats)
+    assert pcm.shape == (FRAME_SIZE,)
+    assert pcm.dtype == np.int16
+
+
+def test_dsp_vocoder_multi_frame_matches_frame_loop():
+    rng = np.random.default_rng(0)
+    feats = (rng.normal(size=(4, NB_FEATURES)) * 0.1).astype(np.float32)
+    v1 = LPCVocoder(seed=3)
+    loop = np.concatenate([v1.synthesize(f) for f in feats])
+    v2 = LPCVocoder(seed=3)
+    batch = v2.synthesize_frames(feats)
+    np.testing.assert_allclose(batch, loop, atol=2)  # int16 rounding
+
+
+def test_encoder_decoder_spectral_consistency():
+    """Synthesizing from encoded features must land in the right spectral
+    ballpark: a voiced tone's synthesis concentrates energy near the tone."""
+    fs = 16000
+    f0 = 200.0
+    t = np.arange(fs) / fs
+    tone = (0.4 * np.sin(2 * np.pi * f0 * t) * 32767).astype(np.int16)
+    enc = LPCFeatureEncoder()
+    feats = enc.compute_LPC_features(tone)
+
+    voc = LPCVocoder()
+    pcm = voc.synthesize_frames(feats[10:60]).astype(np.float64)
+    spec = np.abs(np.fft.rfft(pcm * np.hanning(len(pcm))))
+    freqs = np.fft.rfftfreq(len(pcm), 1 / fs)
+    # Dominant energy below 1 kHz (the tone + harmonics region).
+    low = spec[freqs < 1000].sum()
+    high = spec[freqs > 4000].sum()
+    assert low > 3 * high
+
+
+def test_lpcnet_api_surface():
+    net = LPCNet(backend="dsp")
+    assert hasattr(net, "synthesize") and hasattr(net, "reset_decoder")
+    out = net.synthesize(np.zeros(NB_FEATURES, np.float32))
+    assert out.shape == (FRAME_SIZE,) and out.dtype == np.int16
+
+
+def test_feature_file(tmp_path):
+    from dss_tpu.vocoder import LPCFeatureFile
+
+    data = np.arange(36 * 3, dtype=np.float32).reshape(3, 36)
+    path = tmp_path / "feats.f32"
+    data.tofile(path)
+    frames = list(LPCFeatureFile(str(path)))
+    assert len(frames) == 3
+    np.testing.assert_array_equal(frames[0], data[0, :20])
