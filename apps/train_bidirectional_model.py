@@ -45,6 +45,7 @@ class TrainingConfiguration:
     test_day: str
     valid_day: str
     seed: int = 0
+    resume: bool = False
 
 
 def main(cfg: TrainingConfiguration) -> None:
@@ -102,6 +103,14 @@ def main(cfg: TrainingConfiguration) -> None:
         key = jax.random.PRNGKey(cfg.seed)
         key, init_key = jax.random.split(key)
         params, opt_state = trainer.init(init_key)
+        start_epoch = 0
+        resume_path = os.path.join(out_dir, "train_state.pkl")
+        if cfg.resume and os.path.exists(resume_path):
+            from dss_tpu.train import load_train_state
+
+            params, opt_state, extra = load_train_state(resume_path)
+            start_epoch = int(extra.get("epoch", 0))
+            logger.info(f"Resumed training state from epoch {start_epoch}.")
 
         n_params = sum(np.asarray(p).size for p in jax.tree.leaves(params))
         logger.info(
@@ -110,7 +119,7 @@ def main(cfg: TrainingConfiguration) -> None:
         )
 
         rng = np.random.default_rng(cfg.seed)
-        for epoch in range(cfg.nb_epochs):
+        for epoch in range(start_epoch, cfg.nb_epochs):
             train_loss = 0.0
             seen = 0
             order = rng.permutation(len(tr_dataset))
@@ -138,6 +147,10 @@ def main(cfg: TrainingConfiguration) -> None:
                 f"-- Validation loss: {final_valid_loss:.04f}"
             )
             best_model.update(params, validation_loss=final_valid_loss)
+            from dss_tpu.train import save_train_state
+
+            save_train_state(os.path.join(out_dir, "train_state.pkl"),
+                             params, opt_state, extra={"epoch": epoch + 1})
 
             # Per-epoch audible regression: synthesize fixed test/train
             # subsets (reference caps both at 30 trials).
@@ -187,6 +200,8 @@ if __name__ == "__main__":
     parser.add_argument("--test_day", default="2022_11_04", help="Day used as offline test data.")
     parser.add_argument("--val_day", default="2022_11_03", help="Day used as validation data.")
     parser.add_argument("--epochs", default="100", help="Number of training epochs.")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from out_dir/train_state.pkl if present.")
     args = parser.parse_args()
     out_dir = Path(args.out_dir)
 
@@ -200,6 +215,7 @@ if __name__ == "__main__":
         out_dir=out_dir,
         test_day=args.test_day,
         valid_day=args.val_day,
+        resume=getattr(args, 'resume', False),
     )
 
     os.makedirs(out_dir.as_posix(), exist_ok=True)

@@ -45,6 +45,7 @@ class TrainingConfiguration:
     test_day: str
     valid_day: str
     seed: int = 0
+    resume: bool = False
 
 
 def visualize_vad_predictions(pred, orig, speech_probs, filename: Path):
@@ -125,6 +126,14 @@ def main(cfg: TrainingConfiguration) -> None:
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
     params, opt_state = trainer.init(init_key)
+    start_epoch = 0
+    resume_path = os.path.join(cfg.out_dir, "train_state.pkl")
+    if cfg.resume and os.path.exists(resume_path):
+        from dss_tpu.train import load_train_state
+
+        params, opt_state, extra = load_train_state(resume_path)
+        start_epoch = int(extra.get("epoch", 0))
+        logger.info(f"Resumed training state from epoch {start_epoch}.")
 
     n_params = sum(np.asarray(p).size for p in jax.tree.leaves(params))
     logger.info(
@@ -134,7 +143,7 @@ def main(cfg: TrainingConfiguration) -> None:
 
     update_steps_counter = 0
     rng = np.random.default_rng(cfg.seed)
-    for epoch in range(cfg.nb_epochs):
+    for epoch in range(start_epoch, cfg.nb_epochs):
         train_loss = []
         order = rng.permutation(len(tr_dataset))
         for idx in order:
@@ -177,6 +186,10 @@ def main(cfg: TrainingConfiguration) -> None:
         best_model.update(params, validation_acc=val_score,
                           info={"update_steps": update_steps_counter,
                                 "epoch": epoch + 1})
+        from dss_tpu.train import save_train_state
+
+        save_train_state(os.path.join(cfg.out_dir, "train_state.pkl"),
+                         params, opt_state, extra={"epoch": epoch + 1})
 
     logger.info(
         f"Training finished. Best validation accuracy obtained after "
@@ -192,6 +205,8 @@ if __name__ == "__main__":
     parser.add_argument("--test_day", default="2022_11_04", help="Day used as offline test data.")
     parser.add_argument("--val_day", default="2022_11_03", help="Day used as validation data.")
     parser.add_argument("--epochs", default="8", help="Number of training epochs.")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from out_dir/train_state.pkl if present.")
     args = parser.parse_args()
     out_dir = Path(args.out_dir)
 
@@ -206,6 +221,7 @@ if __name__ == "__main__":
         out_dir=out_dir,
         test_day=args.test_day,
         valid_day=args.val_day,
+        resume=getattr(args, 'resume', False),
     )
 
     os.makedirs(out_dir.as_posix(), exist_ok=True)

@@ -1,21 +1,27 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Primary metric: LPCNet-equivalent vocoder real-time factor per core for a
-single stream (north-star target: >= 20x; vs_baseline = RTF / 20).  Also
-reports the batched-64 vocoder aggregate RTF, high-gamma front-end frame
-throughput, and the p50 packet->feature->VAD->decode latency of the jitted
-online path.
+Primary metric: LPCNet-equivalent vocoder real-time factor for a single
+stream (north-star target: >= 20x; vs_baseline = RTF / 20).  Extras: the
+batched-64 aggregate vocoder RTF, high-gamma front-end frame throughput, and
+p50 packet->feature->VAD latency of the jitted online path.
 
-Run on the real TPU chip by the round driver; falls back to CPU cleanly.
+Designed for the round driver's real-TPU run: every benchmark warms up with
+the SAME shapes it measures (exactly one compile each) and progress goes to
+stderr.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def _bench_vocoder(n_frames: int = 200, batch: int = 1) -> float:
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _bench_vocoder(n_frames: int, batch: int, iters: int = 3) -> float:
     """Real-time factor: synthesized-audio seconds per wall second."""
     import jax
 
@@ -31,19 +37,25 @@ def _bench_vocoder(n_frames: int = 200, batch: int = 1) -> float:
     feats[..., 18] = 0.0
     feats[..., 19] = 0.2
 
-    # Warm-up (compile)
-    pcm, state = net_synthesize_frames(model, params, state, feats[:, :2])
-    jax.block_until_ready(pcm)
-
+    _log(f"vocoder b={batch} T={n_frames}: compiling...")
     t0 = time.perf_counter()
-    pcm, state = net_synthesize_frames(model, params, state, feats)
+    pcm, st = net_synthesize_frames(model, params, state, feats)
     jax.block_until_ready(pcm)
-    dt = time.perf_counter() - t0
+    _log(f"vocoder b={batch}: compile+first run {time.perf_counter() - t0:.1f}s")
+
+    best = np.inf
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        pcm, st = net_synthesize_frames(model, params, st, feats)
+        jax.block_until_ready(pcm)
+        best = min(best, time.perf_counter() - t0)
     audio_seconds = batch * n_frames * 160 / 16000.0
-    return audio_seconds / dt
+    rtf = audio_seconds / best
+    _log(f"vocoder b={batch}: {rtf:.2f}x realtime")
+    return rtf
 
 
-def _bench_hga(packets: int = 200) -> float:
+def _bench_hga(packets: int = 100) -> float:
     """Frames/sec through the jitted 40-sample packet front-end (64 ch)."""
     import jax
     import jax.numpy as jnp
@@ -55,20 +67,22 @@ def _bench_hga(packets: int = 200) -> float:
     rng = np.random.default_rng(0)
     packet = jnp.asarray(rng.normal(size=(40, 64)), jnp.float32)
 
-    feats, state = ex.packet_step(state, packet)  # compile
+    _log("hga: compiling...")
+    feats, state = ex.packet_step(state, packet)
     jax.block_until_ready(feats)
 
     t0 = time.perf_counter()
     for _ in range(packets):
         feats, state = ex.packet_step(state, packet)
     jax.block_until_ready(feats)
-    dt = time.perf_counter() - t0
-    return packets * 4 / dt  # 4 frames per 40 ms packet
+    fps = packets * 4 / (time.perf_counter() - t0)
+    _log(f"hga: {fps:.0f} frames/s")
+    return fps
 
 
-def _bench_latency(iters: int = 100) -> float:
-    """p50 wall latency of packet -> features -> VAD step (the per-packet
-    critical path of the online system), milliseconds."""
+def _bench_latency(iters: int = 50) -> float:
+    """p50 wall latency (ms) of the per-packet online critical path:
+    packet -> features -> VAD logits."""
     import jax
     import jax.numpy as jnp
 
@@ -89,6 +103,7 @@ def _bench_latency(iters: int = 100) -> float:
 
     rng = np.random.default_rng(0)
     packet = jnp.asarray(rng.normal(size=(40, 64)), jnp.float32)
+    _log("latency: compiling...")
     fe_state, vad_state, labels = packet_path(fe_state, vad_state, packet)
     jax.block_until_ready(labels)
 
@@ -98,14 +113,61 @@ def _bench_latency(iters: int = 100) -> float:
         fe_state, vad_state, labels = packet_path(fe_state, vad_state, packet)
         jax.block_until_ready(labels)
         times.append((time.perf_counter() - t0) * 1000)
-    return float(np.percentile(times, 50))
+    p50 = float(np.percentile(times, 50))
+    _log(f"latency: p50 {p50:.2f} ms")
+    return p50
+
+
+def _bench_scaleup(iters: int = 30) -> float:
+    """Scale-up config (BASELINE.json config 5): 256-channel ECoG, 2x-width
+    decoder, 8 concurrent streams on one chip.  Returns aggregate feature
+    frames/sec through the full packet->features->VAD->decode-ready path."""
+    import jax
+    import jax.numpy as jnp
+
+    from dss_tpu.models import UnidirectionalVoiceActivityDetector
+    from dss_tpu.ops import HighGammaExtractor
+
+    streams, channels, hidden = 8, 256, 300
+    ex = HighGammaExtractor(fs=1000, nb_electrodes=channels)
+    vad = UnidirectionalVoiceActivityDetector(2, hidden, channels)
+    params = vad.init(jax.random.PRNGKey(0))
+
+    fe_state = jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (streams,) + l.shape), ex.init_state()
+    )
+    vad_state = vad.create_new_initial_state(streams)
+
+    @jax.jit
+    def multi_stream_step(fe_state, vad_state, packets):
+        feats, fe_state = jax.vmap(
+            lambda s, p: ex.packet_step(s, p)
+        )(fe_state, packets)
+        logits, vad_state = vad.apply(params, feats, vad_state)
+        return fe_state, vad_state, jnp.argmax(logits, axis=-1)
+
+    rng = np.random.default_rng(0)
+    packets = jnp.asarray(rng.normal(size=(streams, 40, channels)), jnp.float32)
+    _log(f"scale-up {streams}x{channels}ch: compiling...")
+    fe_state, vad_state, labels = multi_stream_step(fe_state, vad_state, packets)
+    jax.block_until_ready(labels)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fe_state, vad_state, labels = multi_stream_step(fe_state, vad_state,
+                                                        packets)
+    jax.block_until_ready(labels)
+    fps = iters * 4 * streams / (time.perf_counter() - t0)
+    _log(f"scale-up: {fps:.0f} aggregate frames/s")
+    return fps
 
 
 def main() -> None:
-    rtf1 = _bench_vocoder(batch=1)
-    rtf64 = _bench_vocoder(batch=64, n_frames=100)
+    rtf1 = _bench_vocoder(n_frames=50, batch=1)
+    rtf64 = _bench_vocoder(n_frames=50, batch=64)
     hga_fps = _bench_hga()
     p50_ms = _bench_latency()
+    scaleup_fps = _bench_scaleup()
 
     result = {
         "metric": "vocoder_rtf_1stream",
@@ -116,6 +178,7 @@ def main() -> None:
             "vocoder_rtf_64stream_aggregate": round(rtf64, 3),
             "hga_frames_per_sec": round(hga_fps, 1),
             "packet_to_vad_p50_ms": round(p50_ms, 3),
+            "scaleup_8x256ch_frames_per_sec": round(scaleup_fps, 1),
         },
     }
     print(json.dumps(result))

@@ -20,6 +20,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
+# CPU-backed tests exercise the kernels through the Pallas interpreter.
+_INTERPRET = os.environ.get("DSS_PALLAS_INTERPRET", "0") == "1"
+
+
 from ..frames import LOG_POWER_EPS
 
 
@@ -69,6 +75,7 @@ def _log_power_call(data, hop: int, window_len: int, num_win: int):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((padded_windows, channels), data.dtype),
+        interpret=_INTERPRET,
     )(data)
     return out[:num_win]
 

@@ -1,0 +1,276 @@
+"""Pallas TPU kernel: the vocoder's autoregressive sample-rate loop.
+
+Replaces the reference's C sample loop (xiph LPCNet's lpcnet_synthesize:
+per-16kHz-sample sparse-GRU inference) with an on-chip kernel that keeps GRU
+state, the signal history, and ALL network weights resident in VMEM across
+the whole synthesis call:
+
+* grid = one step per 10 ms frame; frame-rate inputs (conditioning, LPC,
+  temperature, seed) stream in per-step while weights stay pinned;
+* the 160-sample inner loop is a ``fori_loop`` whose state lives in VMEM
+  scratch (h_a, h_b, signal history, last excitation) — nothing round-trips
+  to HBM between samples;
+* mu-law embedding lookups run as one-hot matmuls on the MXU (a [B, 256]
+  one-hot against the [256, 128] table beats a gather at these shapes);
+* sampling uses the on-core PRNG (Gumbel-max over the 256 logits) with
+  pitch-correlation-dependent sharpening, or greedy argmax when
+  ``temperature < 0`` is passed (used by equivalence tests).
+
+Weights footprint: GRU-A (512x1152 + 384x1152) + embeddings (3 x 256x128)
++ GRU-B / output heads ~= 5 MB f32 — comfortably VMEM-resident.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import os
+
+# CPU-backed tests exercise the kernels through the Pallas interpreter.
+_INTERPRET = os.environ.get("DSS_PALLAS_INTERPRET", "0") == "1"
+
+
+MULAW_LEVELS = 256
+_MU = 255.0
+_LOG1P_MU = float(np.log1p(_MU))
+
+
+def _mulaw_encode(x):
+    x = jnp.clip(x, -1.0, 1.0)
+    y = jnp.sign(x) * jnp.log1p(_MU * jnp.abs(x)) / _LOG1P_MU
+    return jnp.clip(jnp.round((y + 1.0) * 0.5 * (MULAW_LEVELS - 1)),
+                    0, MULAW_LEVELS - 1).astype(jnp.int32)
+
+
+def _mulaw_decode(idx):
+    y = idx.astype(jnp.float32) / (MULAW_LEVELS - 1) * 2.0 - 1.0
+    return jnp.sign(y) * (jnp.exp(jnp.abs(y) * _LOG1P_MU) - 1.0) / _MU
+
+
+def _one_hot(idx_col, levels):
+    """idx_col [B, 1] int32 -> [B, levels] f32 one-hot."""
+    B = idx_col.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (B, levels), 1)
+    return (lanes == idx_col).astype(jnp.float32)
+
+
+def _gru(x, h, wx, wh, bx, bh, units):
+    gx = jnp.dot(x, wx, preferred_element_type=jnp.float32) + bx
+    gh = jnp.dot(h, wh, preferred_element_type=jnp.float32) + bh
+    r = jax.nn.sigmoid(gx[:, :units] + gh[:, :units])
+    z = jax.nn.sigmoid(gx[:, units:2 * units] + gh[:, units:2 * units])
+    n = jnp.tanh(gx[:, 2 * units:] + r * gh[:, 2 * units:])
+    return (1.0 - z) * n + z * h
+
+
+def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
+                 cond_dim: int, embed_dim: int, batch: int,
+                 stochastic: bool = True):
+    def kernel(
+        # frame-rate inputs (one frame per grid step)
+        cond_ref, lpc_ref, temp_ref, seed_ref,
+        # weights (full arrays, VMEM-resident across the grid)
+        emb_sig_ref, emb_pred_ref, emb_exc_ref,
+        gru_a_wx_ref, gru_a_wh_ref, gru_a_bx_ref, gru_a_bh_ref,
+        gru_b_wx_ref, gru_b_wh_ref, gru_b_bx_ref, gru_b_bh_ref,
+        out1_w_ref, out2_w_ref, out1_g_ref, out2_g_ref, out_b_ref,
+        # initial state (read at step 0)
+        h_a0_ref, h_b0_ref, sig_mem0_ref, exc0_ref,
+        # outputs
+        sig_out_ref, h_a_out_ref, h_b_out_ref, sig_mem_out_ref, exc_out_ref,
+        # scratch state (persists across grid steps)
+        h_a_s, h_b_s, sig_mem_s, exc_s,
+    ):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            h_a_s[...] = h_a0_ref[...]
+            h_b_s[...] = h_b0_ref[...]
+            sig_mem_s[...] = sig_mem0_ref[...]
+            exc_s[...] = exc0_ref[...]
+
+        if stochastic:
+            pltpu.prng_seed(seed_ref[0])
+
+        cond = cond_ref[0]          # [B, cond_dim]
+        lpc = lpc_ref[0]            # [B, lpc_order]
+        temp = temp_ref[0]          # [B, 1]
+        greedy = temp[0, 0] < 0.0
+
+        def step(i, _):
+            sig_mem = sig_mem_s[...]
+            pred = -jnp.sum(sig_mem * lpc, axis=1, keepdims=True)  # [B,1]
+
+            oh_sig = _one_hot(_mulaw_encode(sig_mem[:, :1]), MULAW_LEVELS)
+            oh_pred = _one_hot(_mulaw_encode(pred), MULAW_LEVELS)
+            oh_exc = _one_hot(exc_s[...], MULAW_LEVELS)
+
+            e_sig = jnp.dot(oh_sig, emb_sig_ref[...],
+                            preferred_element_type=jnp.float32)
+            e_pred = jnp.dot(oh_pred, emb_pred_ref[...],
+                             preferred_element_type=jnp.float32)
+            e_exc = jnp.dot(oh_exc, emb_exc_ref[...],
+                            preferred_element_type=jnp.float32)
+
+            x_a = jnp.concatenate([e_sig, e_pred, e_exc, cond], axis=1)
+            h_a = _gru(x_a, h_a_s[...], gru_a_wx_ref[...], gru_a_wh_ref[...],
+                       gru_a_bx_ref[...], gru_a_bh_ref[...], gru_a)
+            h_a_s[...] = h_a
+
+            x_b = jnp.concatenate([h_a, cond], axis=1)
+            h_b = _gru(x_b, h_b_s[...], gru_b_wx_ref[...], gru_b_wh_ref[...],
+                       gru_b_bx_ref[...], gru_b_bh_ref[...], gru_b)
+            h_b_s[...] = h_b
+
+            logits = (jnp.tanh(jnp.dot(h_b, out1_w_ref[...],
+                                       preferred_element_type=jnp.float32))
+                      * out1_g_ref[...]
+                      + jnp.tanh(jnp.dot(h_b, out2_w_ref[...],
+                                         preferred_element_type=jnp.float32))
+                      * out2_g_ref[...]
+                      + out_b_ref[...])
+
+            if stochastic:
+                bits = pltpu.prng_random_bits((batch, MULAW_LEVELS))
+                u = (pltpu.bitcast(bits, jnp.uint32) >> 8).astype(jnp.float32) \
+                    * (1.0 / (1 << 24)) + 1e-9
+                gumbel = -jnp.log(-jnp.log(u))
+                scores = jnp.where(greedy, logits, logits * temp + gumbel)
+            else:
+                scores = logits
+
+            m = jnp.max(scores, axis=1, keepdims=True)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (batch, MULAW_LEVELS), 1)
+            new_exc = jnp.min(
+                jnp.where(scores >= m, lanes, MULAW_LEVELS), axis=1,
+                keepdims=True,
+            ).astype(jnp.int32)
+            exc_s[...] = new_exc
+
+            e = _mulaw_decode(new_exc)
+            sample = jnp.clip(pred + e, -1.0, 1.0)  # [B,1]
+            sig_mem_s[...] = jnp.concatenate(
+                [sample, sig_mem[:, :-1]], axis=1
+            )
+            sig_out_ref[0, i, :] = sample[:, 0]
+            return 0
+
+        jax.lax.fori_loop(0, frame_size, step, 0)
+
+        h_a_out_ref[...] = h_a_s[...]
+        h_b_out_ref[...] = h_b_s[...]
+        sig_mem_out_ref[...] = sig_mem_s[...]
+        exc_out_ref[...] = exc_s[...]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("frame_size", "stochastic"))
+def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
+                  exc0, frame_size: int, stochastic: bool = True):
+    """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T] int32."""
+    T, B, cd = cond.shape
+    lpc_order = lpc.shape[-1]
+    gru_a = h_a0.shape[-1]
+    gru_b = h_b0.shape[-1]
+    embed_dim = weights["emb_sig"].shape[-1]
+
+    kernel = _make_kernel(frame_size, lpc_order, gru_a, gru_b, cd,
+                          embed_dim, B, stochastic=stochastic)
+
+    def frame_spec(shape):
+        return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def full(x):
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    weight_order = [
+        "emb_sig", "emb_pred", "emb_exc",
+        "gru_a_wx", "gru_a_wh", "gru_a_bx", "gru_a_bh",
+        "gru_b_wx", "gru_b_wh", "gru_b_bx", "gru_b_bh",
+        "fc_out1_w", "fc_out2_w", "fc_out1_g", "fc_out2_g", "fc_out_b",
+    ]
+    weight_vals = []
+    for k in weight_order:
+        w = weights[k]
+        if k == "gru_a_wh":
+            w = w * weights["gru_a_mask"]
+        if w.ndim == 1:
+            w = w[None, :]  # biases as [1, n] rows for clean broadcasting
+        weight_vals.append(jnp.asarray(w, jnp.float32))
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, frame_size, B), jnp.float32),
+        jax.ShapeDtypeStruct((B, gru_a), jnp.float32),
+        jax.ShapeDtypeStruct((B, gru_b), jnp.float32),
+        jax.ShapeDtypeStruct((B, lpc_order), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, frame_size, B), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, gru_a), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, gru_b), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, lpc_order), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    )
+
+    in_specs = (
+        [frame_spec((B, cd)), frame_spec((B, lpc_order)), frame_spec((B, 1)),
+         pl.BlockSpec((1,), lambda t: (t,), memory_space=pltpu.SMEM)]
+        + [full(w) for w in weight_vals]
+        + [full(h_a0), full(h_b0), full(sig_mem0),
+           pl.BlockSpec(memory_space=pltpu.VMEM)]
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((B, gru_a), jnp.float32),
+            pltpu.VMEM((B, gru_b), jnp.float32),
+            pltpu.VMEM((B, lpc_order), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_INTERPRET,
+    )(cond, lpc, temp, seeds, *weight_vals, h_a0, h_b0, sig_mem0, exc0)
+
+
+def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
+                          temperature, seeds, frame_size: int = 160,
+                          stochastic: bool = True):
+    """Synthesize T frames with the Pallas sampler.
+
+    carry: (h_a [B,ga], h_b [B,gb], sig_mem [B,16], exc_idx [B]).
+    cond_all [B,T,cd]; lpc_all [B,T,16]; temperature [B,T,1] (negative for
+    greedy argmax); seeds [T] int32.
+    Returns ((h_a, h_b, sig_mem, exc_idx), sig [B, T*frame_size]).
+    """
+    del model
+    h_a, h_b, sig_mem, exc_idx = carry
+    cond = jnp.moveaxis(jnp.asarray(cond_all, jnp.float32), 1, 0)
+    lpc = jnp.moveaxis(jnp.asarray(lpc_all, jnp.float32), 1, 0)
+    temp = jnp.moveaxis(jnp.asarray(temperature, jnp.float32), 1, 0)
+    sig, h_a, h_b, sig_mem, exc = _sampler_call(
+        cond, lpc, temp, jnp.asarray(seeds, jnp.int32), params,
+        jnp.asarray(h_a, jnp.float32), jnp.asarray(h_b, jnp.float32),
+        jnp.asarray(sig_mem, jnp.float32),
+        jnp.asarray(exc_idx, jnp.int32).reshape(-1, 1),
+        frame_size=frame_size, stochastic=stochastic,
+    )
+    T, F, B = sig.shape
+    sig = jnp.moveaxis(sig.reshape(T * F, B), 0, 1)
+    return (h_a, h_b, sig_mem, exc[:, 0]), sig

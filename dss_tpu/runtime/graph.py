@@ -193,10 +193,18 @@ class System:
 
 
 class _Router:
-    """Fan-out of published messages to all subscribed edge queues."""
+    """Fan-out of published messages to all subscribed edge queues.
+
+    Backpressure observability: queues are unbounded (ezmsg-style; drop-old
+    semantics live at the ZMQ ingest), but a unit that falls behind is worth
+    knowing about — depth is logged each time a queue doubles past the
+    threshold."""
+
+    QUEUE_WARN_DEPTH = 64
 
     def __init__(self):
         self.routes: Dict[BoundStream, List[asyncio.Queue]] = {}
+        self._warned_depth: Dict[int, int] = {}
 
     def connect(self, src: BoundStream, queue: asyncio.Queue) -> None:
         self.routes.setdefault(src, []).append(queue)
@@ -204,6 +212,13 @@ class _Router:
     async def publish(self, port: BoundStream, message: Any) -> None:
         for q in self.routes.get(port, ()):
             await q.put(message)
+            depth = q.qsize()
+            if depth >= self._warned_depth.get(id(q), self.QUEUE_WARN_DEPTH):
+                self._warned_depth[id(q)] = depth * 2
+                logger.warning(
+                    f"queue depth {depth} on edge from {port} — consumer "
+                    f"is falling behind"
+                )
 
 
 async def _run_source(unit: Unit, fn, router: _Router) -> None:

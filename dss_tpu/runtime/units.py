@@ -465,12 +465,34 @@ class DelayedLPCNetVocoder(Unit):
 
 # region Output unit
 class DelayedStdoutForSoX(Unit):
-    """Write int16 PCM to stdout for ``play -t raw -r 16000 ...``."""
+    """Write int16 PCM to stdout for ``play -t raw -r 16000 ...``.
+
+    Also the closed loop's latency probe: each segment's ``received_at``
+    stamp (set at ZMQ ingest, propagated through every unit — reference
+    local/units.py:34,89) yields the end-to-end ingest->audio time."""
 
     INPUT = InputStream(ClosedLoopMessage)
+
+    def initialize(self) -> None:
+        self.latencies_ms: List[float] = []
 
     @subscriber(INPUT)
     async def print(self, msg: ClosedLoopMessage) -> None:
         sys.stdout.buffer.write(np.asarray(msg.data).tobytes())
         sys.stdout.flush()
+        if getattr(msg, "received_at", None) is not None:
+            latency_ms = (time.time() - msg.received_at) * 1000.0
+            self.latencies_ms.append(latency_ms)
+            logger.info(
+                f"segment audio out: {len(msg.data)} samples, "
+                f"ingest->audio {latency_ms:.1f} ms"
+            )
+
+    def shutdown(self) -> None:
+        if self.latencies_ms:
+            p50 = float(np.percentile(self.latencies_ms, 50))
+            logger.info(
+                f"ingest->audio latency over {len(self.latencies_ms)} "
+                f"segments: p50 {p50:.1f} ms"
+            )
 # endregion

@@ -1,4 +1,4 @@
-"""Best-model checkpointing.
+"""Best-model checkpointing and training-state resume.
 
 Parity target: reference local/training.py:136-162 (``StoreBestModel``):
 keeps exactly one best weights file, updated when validation accuracy
@@ -15,9 +15,12 @@ directions.
 from __future__ import annotations
 
 import logging
-from typing import Optional
+import pickle
+from typing import Any, Optional, Tuple
 
 import numpy as np
+
+import jax
 
 from ..models.torch_port import to_torch_state_dict
 
@@ -68,3 +71,30 @@ class StoreBestModel:
             logger.info(f"Updated best model weights for a score of {validation_loss}.")
             updated = True
         return updated
+
+
+# ---------------------------------------------------------------------------
+# Training-state checkpointing (resume support the reference lacks —
+# SURVEY.md §5.4: "no optimizer-state checkpointing, no resume").
+# ---------------------------------------------------------------------------
+
+def save_train_state(filename: str, params, opt_state,
+                     extra: Optional[dict] = None) -> None:
+    """Persist the full training state (params + optimizer + metadata)."""
+    blob = {
+        "params": jax.tree.map(np.asarray, params),
+        "opt_state": jax.tree.map(np.asarray, opt_state),
+        "extra": extra or {},
+    }
+    with open(filename, "wb") as f:
+        pickle.dump(blob, f)
+
+
+def load_train_state(filename: str) -> Tuple[Any, Any, dict]:
+    with open(filename, "rb") as f:
+        blob = pickle.load(f)
+    import jax.numpy as jnp
+
+    params = jax.tree.map(jnp.asarray, blob["params"])
+    opt_state = jax.tree.map(jnp.asarray, blob["opt_state"])
+    return params, opt_state, blob.get("extra", {})

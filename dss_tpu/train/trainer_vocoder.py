@@ -1,0 +1,171 @@
+"""Neural vocoder trainer: teacher-forced mu-law excitation modeling.
+
+Capability target: the training recipe of the LPCNet C library the reference
+wraps (Valin & Skoglund 2019): per 16 kHz sample, predict the mu-law
+excitation distribution given the previous signal sample, the LPC prediction,
+the previous excitation, and the frame conditioning; cross-entropy loss;
+progressive magnitude pruning of the GRU-A recurrent matrix to block
+sparsity.
+
+TPU design: with teacher forcing every sample's *inputs* are known up front,
+so the embedding+input projections for a whole utterance batch are a few
+large MXU matmuls hoisted out of the recurrence; only the GRU state scan
+remains sequential.  Noise injection on the signal history (mu-law
+quantization-domain jitter) matches LPCNet's robustness trick.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..vocoder.features import LPCFeatureEncoder
+from ..vocoder.lpc import FRAME_SIZE, LPC_ORDER, NB_BANDS, PREEMPH, \
+    bands_from_cepstrum, lpc_from_bands
+from ..vocoder.mulaw import MULAW_LEVELS, mulaw_decode, mulaw_encode
+from ..vocoder.net import FEAT_CONTEXT, LPCNetModel
+
+
+def prepare_utterance(audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """16 kHz PCM -> (features [T, 20], preemphasized float signal [T*160]).
+
+    Trailing partial frames are dropped; the signal is in the vocoder's
+    pre-emphasized modeling domain.
+    """
+    audio = np.asarray(audio)
+    if np.issubdtype(audio.dtype, np.integer):
+        audio = audio.astype(np.float32) / 32768.0
+    enc = LPCFeatureEncoder()
+    feats = enc.compute_LPC_features((audio * 32768).astype(np.int16))
+    n = len(feats) * FRAME_SIZE
+    sig = audio[:n].astype(np.float32)
+    shifted = np.concatenate([[0.0], sig[:-1]]).astype(np.float32)
+    return feats, sig - PREEMPH * shifted
+
+
+class VocoderBatch(NamedTuple):
+    features: jnp.ndarray  # [B, T, 20]
+    signal: jnp.ndarray    # [B, T*160] pre-emphasized float
+
+
+class VocoderTrainer:
+    def __init__(self, model: LPCNetModel, learning_rate: float = 1e-3,
+                 noise_level: int = 2):
+        self.model = model
+        # mu-law domain jitter on the signal history (LPCNet's input noise).
+        self.noise_level = noise_level
+        self.optimizer = optax.adam(learning_rate)
+
+    def init(self, key: jax.Array):
+        params = self.model.init(key)
+        return params, self.optimizer.init(params)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _loss(self, params, features, signal, rng):
+        """Teacher-forced CE over all samples of the batch."""
+        model = self.model
+        B, T, _ = features.shape
+        S = T * FRAME_SIZE
+
+        feats_ctx = jnp.concatenate(
+            [jnp.zeros((B, FEAT_CONTEXT, features.shape[-1]))], axis=1
+        )
+        feats_ctx = jnp.concatenate([feats_ctx, features], axis=1)
+        cond = model.condition(params, feats_ctx)[:, FEAT_CONTEXT:]  # [B,T,cd]
+        cond_up = jnp.repeat(cond, FRAME_SIZE, axis=1)               # [B,S,cd]
+
+        bands = bands_from_cepstrum(features[..., :NB_BANDS])
+        lpc, _ = jax.vmap(jax.vmap(lpc_from_bands))(bands)           # [B,T,16]
+        lpc_up = jnp.repeat(lpc, FRAME_SIZE, axis=1)                 # [B,S,16]
+
+        # True histories (teacher forcing): sig history matrix [B, S, 16].
+        sig_hist = jnp.stack(
+            [jnp.pad(signal, ((0, 0), (k + 1, 0)))[:, :S]
+             for k in range(LPC_ORDER)], axis=-1,
+        )
+        pred = -jnp.sum(sig_hist * lpc_up, axis=-1)                  # [B,S]
+
+        exc = jnp.clip(signal - pred, -1.0, 1.0)
+        exc_idx = mulaw_encode(exc)                                  # [B,S]
+        prev_exc = jnp.concatenate(
+            [jnp.full((B, 1), MULAW_LEVELS // 2, jnp.int32),
+             exc_idx[:, :-1]], axis=1,
+        )
+        prev_sig_idx = mulaw_encode(sig_hist[..., 0])
+        if self.noise_level > 0:
+            rng, nk = jax.random.split(rng)
+            noise = jax.random.randint(
+                nk, prev_sig_idx.shape, -self.noise_level,
+                self.noise_level + 1)
+            prev_sig_idx = jnp.clip(prev_sig_idx + noise, 0,
+                                    MULAW_LEVELS - 1)
+        pred_idx = mulaw_encode(pred)
+
+        # Hoist all input projections out of the GRU scans.
+        x_a = jnp.concatenate([
+            params["emb_sig"][prev_sig_idx],
+            params["emb_pred"][pred_idx],
+            params["emb_exc"][prev_exc],
+            cond_up,
+        ], axis=-1)                                                  # [B,S,in]
+        ga = self.model.gru_a_units
+        gb = self.model.gru_b_units
+        gx_a = x_a @ params["gru_a_wx"] + params["gru_a_bx"]
+        wh_a = params["gru_a_wh"] * params["gru_a_mask"]
+
+        def gru_scan(gx, wh, bh, units, h0):
+            def step(h, gx_t):
+                gh = h @ wh + bh
+                r = jax.nn.sigmoid(gx_t[:, :units] + gh[:, :units])
+                z = jax.nn.sigmoid(gx_t[:, units:2 * units]
+                                   + gh[:, units:2 * units])
+                n = jnp.tanh(gx_t[:, 2 * units:] + r * gh[:, 2 * units:])
+                h = (1.0 - z) * n + z * h
+                return h, h
+
+            _, hs = jax.lax.scan(step, h0, jnp.moveaxis(gx, 1, 0))
+            return jnp.moveaxis(hs, 0, 1)                            # [B,S,u]
+
+        h_a = gru_scan(gx_a, wh_a, params["gru_a_bh"], ga,
+                       jnp.zeros((B, ga)))
+        x_b = jnp.concatenate([h_a, cond_up], axis=-1)
+        gx_b = x_b @ params["gru_b_wx"] + params["gru_b_bx"]
+        h_b = gru_scan(gx_b, params["gru_b_wh"], params["gru_b_bh"], gb,
+                       jnp.zeros((B, gb)))
+
+        logits = self.model.sample_logits(params, h_b)               # [B,S,256]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, exc_idx[..., None], axis=-1)[..., 0]
+        return jnp.mean(ce)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step(self, params, opt_state, features, signal, rng):
+        loss, grads = jax.value_and_grad(
+            lambda p: self._loss(p, features, signal, rng)
+        )(params)
+        grads = dict(grads, gru_a_mask=jnp.zeros_like(grads["gru_a_mask"]))
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # Keep pruned blocks at exactly zero.
+        params = dict(params, gru_a_wh=params["gru_a_wh"] * params["gru_a_mask"])
+        return params, opt_state, loss
+
+    def sparsify(self, params, density: float, block=(16, 1)):
+        """Magnitude-prune GRU-A recurrent weights to ``density`` using
+        LPCNet-style block granularity; returns params with updated mask."""
+        w = np.asarray(params["gru_a_wh"])
+        bh, bw = block
+        H, G = w.shape
+        blocks = w.reshape(H // bh, bh, G // bw, bw)
+        mags = np.abs(blocks).sum(axis=(1, 3))
+        k = max(1, int(round(density * mags.size)))
+        threshold = np.partition(mags.ravel(), -k)[-k]
+        keep = (mags >= threshold).astype(np.float32)
+        mask = np.repeat(np.repeat(keep, bh, axis=0), bw, axis=1)
+        return dict(params, gru_a_mask=jnp.asarray(mask),
+                    gru_a_wh=params["gru_a_wh"] * jnp.asarray(mask))

@@ -156,7 +156,11 @@ class LPCNetModel:
                         params["gru_b_bx"], params["gru_b_bh"])
         logits = self.sample_logits(params, h_b)
 
-        new_exc = jnp.argmax(logits * temperature + gumbel, axis=-1)
+        # Negative temperature selects greedy argmax (used by the Pallas
+        # kernel equivalence tests).
+        scores = jnp.where(temperature < 0.0, logits,
+                           logits * temperature + gumbel)
+        new_exc = jnp.argmax(scores, axis=-1)
         e = mulaw_decode(new_exc)
         sample = jnp.clip(pred + e, -1.0, 1.0)
         sig_mem = jnp.concatenate([sample[:, None], sig_mem[:, :-1]], axis=1)
@@ -203,18 +207,19 @@ def net_synthesize_frames(model: LPCNetModel, params,
     temperature = (1.0 + 1.5 * corr)[..., None]  # sharper when voiced
 
     rng, gkey = jax.random.split(state.rng)
-    gumbel = jax.random.gumbel(gkey, (T, FRAME_SIZE, B, MULAW_LEVELS),
-                               jnp.float32)
 
     if use_pallas:
         from ..ops.pallas.sampler import sampler_frames_pallas
 
+        seeds = jax.random.randint(gkey, (T,), 0, 2**31 - 1, jnp.int32)
         (h_a, h_b, sig_mem, exc_idx), sig = sampler_frames_pallas(
             model, params,
             (state.h_a, state.h_b, state.sig_mem, state.exc_idx),
-            cond_all, lpc_all, gumbel, temperature,
+            cond_all, lpc_all, temperature, seeds, frame_size=FRAME_SIZE,
         )
     else:
+        gumbel = jax.random.gumbel(gkey, (T, FRAME_SIZE, B, MULAW_LEVELS),
+                                   jnp.float32)
         def frame_body(carry, frame_in):
             cond_t, lpc_t, gumbel_t, temp_t = frame_in
 

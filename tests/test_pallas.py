@@ -1,0 +1,116 @@
+"""Pallas kernel tests (run through the interpreter on CPU).
+
+Must set DSS_PALLAS_INTERPRET before the kernels import, hence the env
+mutation at module import time.
+"""
+
+import os
+
+os.environ["DSS_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_log_power_pallas_matches_xla(rng):
+    from dss_tpu.ops import log_power_frames
+
+    data = jnp.asarray(rng.normal(size=(437, 8)), jnp.float32)
+    want = np.asarray(log_power_frames(data, 1000, 0.05, 0.01))
+    got = np.asarray(log_power_frames(data, 1000, 0.05, 0.01, use_pallas=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_log_power_pallas_many_windows(rng):
+    """More windows than one tile (exercises the grid + padding path)."""
+    from dss_tpu.ops import log_power_frames
+
+    data = jnp.asarray(rng.normal(size=(3010, 4)), jnp.float32)
+    want = np.asarray(log_power_frames(data, 1000, 0.05, 0.01))
+    got = np.asarray(log_power_frames(data, 1000, 0.05, 0.01, use_pallas=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sampler_greedy_matches_jax_scan(rng):
+    """Greedy (temperature < 0) synthesis must match the lax.scan sampler
+    sample-for-sample — the two paths implement the same network."""
+    from dss_tpu.ops.pallas.sampler import sampler_frames_pallas
+    from dss_tpu.vocoder.net import LPCNetModel
+
+    # Tiny model + short frames keep the interpreter fast.
+    model = LPCNetModel(gru_a_units=16, gru_b_units=8, cond_dim=8,
+                        embed_dim=8)
+    params = model.init(jax.random.PRNGKey(0))
+
+    B, T, F = 2, 3, 16  # frame_size=16 samples for test speed
+    cond = jnp.asarray(rng.normal(size=(B, T, 8)), jnp.float32) * 0.5
+    lpc = jnp.asarray(rng.normal(size=(B, T, 16)), jnp.float32) * 0.05
+    temp = -jnp.ones((B, T, 1), jnp.float32)
+
+    h_a = jnp.zeros((B, 16))
+    h_b = jnp.zeros((B, 8))
+    sig_mem = jnp.zeros((B, 16))
+    exc = jnp.full((B,), 128, jnp.int32)
+
+    # Reference: jax scan path, greedy.
+    def frame_body(carry, frame_in):
+        cond_t, lpc_t, temp_t = frame_in
+
+        def step(c, _):
+            c, (sample, _, _) = model.sample_step(
+                params, c, cond_t, lpc_t,
+                jnp.zeros((B, 256), jnp.float32), temp_t)
+            return c, sample
+
+        carry, samples = jax.lax.scan(step, carry, jnp.arange(F))
+        return carry, samples
+
+    carry0 = (h_a, h_b, sig_mem, exc)
+    want_carry, want = jax.lax.scan(
+        frame_body, carry0,
+        (jnp.moveaxis(cond, 1, 0), jnp.moveaxis(lpc, 1, 0),
+         jnp.moveaxis(temp, 1, 0)),
+    )
+    want = np.asarray(jnp.moveaxis(want.reshape(T * F, B), 0, 1))
+
+    got_carry, got = sampler_frames_pallas(
+        model, params, carry0, cond, lpc, temp,
+        seeds=jnp.arange(T, dtype=jnp.int32), frame_size=F,
+        stochastic=False,  # the CPU interpreter lacks the TPU PRNG
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_carry[0]),
+                               np.asarray(want_carry[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_carry[2]),
+                               np.asarray(want_carry[2]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_carry[3]),
+                                  np.asarray(want_carry[3]))
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="TPU PRNG has no CPU-interpreter implementation")
+def test_sampler_stochastic_is_plausible(rng):
+    """Stochastic sampling produces in-range, non-constant output."""
+    from dss_tpu.ops.pallas.sampler import sampler_frames_pallas
+    from dss_tpu.vocoder.net import LPCNetModel
+
+    model = LPCNetModel(gru_a_units=16, gru_b_units=8, cond_dim=8,
+                        embed_dim=8)
+    params = model.init(jax.random.PRNGKey(0))
+    B, T, F = 2, 2, 16
+    cond = jnp.zeros((B, T, 8), jnp.float32)
+    lpc = jnp.zeros((B, T, 16), jnp.float32)
+    temp = jnp.ones((B, T, 1), jnp.float32)
+    carry0 = (jnp.zeros((B, 16)), jnp.zeros((B, 8)), jnp.zeros((B, 16)),
+              jnp.full((B,), 128, jnp.int32))
+    _, sig = sampler_frames_pallas(model, params, carry0, cond, lpc, temp,
+                                   seeds=jnp.arange(T, dtype=jnp.int32),
+                                   frame_size=F)
+    sig = np.asarray(sig)
+    assert sig.shape == (B, T * F)
+    assert np.all(np.abs(sig) <= 1.0)
+    assert np.std(sig) > 0.0

@@ -121,3 +121,28 @@ def test_store_best_model(tmp_path):
     loaded = load_checkpoint(str(fn), 1, False, "classifier")
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_state_roundtrip(tmp_path, rng):
+    from dss_tpu.train import load_train_state, save_train_state
+
+    model = UnidirectionalVoiceActivityDetector(1, 8, 4)
+    trainer = VadTrainer(model, learning_rate=1e-2, chunk=10)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    x = rng.normal(size=(20, 4)).astype(np.float32)
+    y = (x[:, 0] > 0).astype(np.float32)
+    xp, yp, m = trainer.pad_trial(x, y)
+    params, opt_state, _ = trainer.tbptt_trial(params, opt_state, xp, yp, m,
+                                               jax.random.PRNGKey(1))
+
+    fn = tmp_path / "train_state.pkl"
+    save_train_state(str(fn), params, opt_state, extra={"epoch": 3})
+    p2, o2, extra = load_train_state(str(fn))
+    assert extra["epoch"] == 3
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Resumed state continues training identically.
+    r1 = trainer.tbptt_trial(params, opt_state, xp, yp, m,
+                             jax.random.PRNGKey(2))
+    r2 = trainer.tbptt_trial(p2, o2, xp, yp, m, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(r1[2]), float(r2[2]), rtol=1e-6)

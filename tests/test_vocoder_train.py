@@ -1,0 +1,72 @@
+"""Vocoder trainer tests: teacher-forced loss decreases, sparsification
+produces the requested density, pruned weights stay zero."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dss_tpu.train.trainer_vocoder import VocoderTrainer, prepare_utterance
+from dss_tpu.vocoder import LPCNetModel
+from dss_tpu.vocoder.lpc import FRAME_SIZE
+
+
+def _tiny_model():
+    return LPCNetModel(gru_a_units=32, gru_b_units=8, cond_dim=16,
+                       embed_dim=16)
+
+
+def test_prepare_utterance(rng):
+    audio = (rng.normal(size=FRAME_SIZE * 7 + 50) * 5000).astype(np.int16)
+    feats, sig = prepare_utterance(audio)
+    assert feats.shape == (7, 20)
+    assert sig.shape == (7 * FRAME_SIZE,)
+    # Pre-emphasized domain: sig = x - 0.85 x[-1]
+    x = audio.astype(np.float32)[:len(sig)] / 32768.0
+    np.testing.assert_allclose(sig[1], x[1] - 0.85 * x[0], atol=1e-6)
+
+
+def test_train_step_reduces_loss(rng):
+    model = _tiny_model()
+    trainer = VocoderTrainer(model, learning_rate=3e-3, noise_level=0)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+    B, T = 4, 3
+    feats = jnp.asarray(rng.normal(size=(B, T, 20)), jnp.float32) * 0.1
+    # A simple periodic target signal.
+    t = np.arange(T * FRAME_SIZE)
+    sig = jnp.asarray(
+        np.tile(0.3 * np.sin(2 * np.pi * t / 80), (B, 1)), jnp.float32
+    )
+
+    key = jax.random.PRNGKey(1)
+    loss0 = float(trainer._loss(params, feats, sig, key))
+    for _ in range(15):
+        key, dk = jax.random.split(key)
+        params, opt_state, loss = trainer.train_step(
+            params, opt_state, feats, sig, dk)
+    loss1 = float(trainer._loss(params, feats, sig, key))
+    assert loss1 < loss0
+    # Initial CE should be near log(256) for untrained uniform-ish logits.
+    assert loss0 < np.log(256) * 2
+
+
+def test_sparsify_density_and_zeroing(rng):
+    model = _tiny_model()
+    trainer = VocoderTrainer(model)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    params = trainer.sparsify(params, density=0.25, block=(8, 1))
+    mask = np.asarray(params["gru_a_mask"])
+    density = mask.mean()
+    assert 0.2 <= density <= 0.3
+    w = np.asarray(params["gru_a_wh"])
+    assert np.all(w[mask == 0] == 0)
+
+    # A train step must keep pruned blocks at zero.
+    B, T = 2, 2
+    feats = jnp.asarray(rng.normal(size=(B, T, 20)), jnp.float32) * 0.1
+    sig = jnp.zeros((B, T * FRAME_SIZE), jnp.float32)
+    params, _, _ = trainer.train_step(params, opt_state, feats, sig,
+                                      jax.random.PRNGKey(2))
+    w = np.asarray(params["gru_a_wh"])
+    assert np.all(w[np.asarray(params["gru_a_mask"]) == 0] == 0)
