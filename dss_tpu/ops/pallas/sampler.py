@@ -97,7 +97,7 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
             exc_s[...] = exc0_ref[...]
 
         if stochastic:
-            pltpu.prng_seed(seed_ref[0])
+            pltpu.prng_seed(seed_ref[pl.program_id(0)])
 
         cond = cond_ref[0]          # [B, cond_dim]
         lpc = lpc_ref[0]            # [B, lpc_order]
@@ -139,8 +139,12 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
 
             if stochastic:
                 bits = pltpu.prng_random_bits((batch, MULAW_LEVELS))
-                u = (pltpu.bitcast(bits, jnp.uint32) >> 8).astype(jnp.float32) \
-                    * (1.0 / (1 << 24)) + 1e-9
+                # Mosaic lacks uint32->f32 casts; route through int32 (the
+                # top 8 bits are shifted out, so the value is sign-safe).
+                bits24 = pltpu.bitcast(
+                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
+                )
+                u = bits24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
                 gumbel = -jnp.log(-jnp.log(u))
                 scores = jnp.where(greedy, logits, logits * temp + gumbel)
             else:
@@ -226,7 +230,8 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
 
     in_specs = (
         [frame_spec((B, cd)), frame_spec((B, lpc_order)), frame_spec((B, 1)),
-         pl.BlockSpec((1,), lambda t: (t,), memory_space=pltpu.SMEM)]
+         # Whole seeds vector in SMEM (rank-1 blocks must cover the array).
+         pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [full(w) for w in weight_vals]
         + [full(h_a0), full(h_b0), full(sig_mem0),
            pl.BlockSpec(memory_space=pltpu.VMEM)]

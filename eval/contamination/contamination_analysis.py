@@ -87,8 +87,11 @@ def band_spectrogram(x: np.ndarray, fs: float):
     f, t, Sxx = _spec(x, fs=fs, window="hann", nperseg=nperseg,
                       noverlap=nperseg - hop, axis=0, mode="magnitude")
     sel = (f >= FREQ_BOUNDS[0]) & (f <= FREQ_BOUNDS[1])
-    # Sxx: [freq, (channels,) time] -> [time, (channels,) freq]
-    Sxx = np.moveaxis(Sxx[sel], 0, -1)
+    Sxx = Sxx[sel]
+    # Sxx: [freq, time] (1-D input) or [freq, channels, time] (2-D input)
+    # -> time-leading: [time, freq] / [time, channels, freq].
+    Sxx = np.moveaxis(Sxx, -1, 0)
+    Sxx = np.moveaxis(Sxx, -1, 1) if Sxx.ndim == 3 else Sxx
     frame_centers = (t * fs).astype(int)
     return Sxx, f[sel], frame_centers
 
