@@ -56,6 +56,13 @@ def main(cfg: TrainingConfiguration) -> None:
     best_model = StoreBestModel(
         filename=os.path.join(out_dir, "best_model.pth"), head_name="regressor"
     )
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        summary_writer = SummaryWriter(
+            log_dir=os.path.join(out_dir, "tensorboard"))
+    except Exception:
+        summary_writer = None
 
     feature_files = list(Path(cfg.speech_corpus_root).rglob(
         "KeywordReading_Overt_R*.hdf"))
@@ -146,6 +153,11 @@ def main(cfg: TrainingConfiguration) -> None:
                 f"Epoch {epoch + 1:>04}: Train loss: {final_train_loss:.04f} "
                 f"-- Validation loss: {final_valid_loss:.04f}"
             )
+            if summary_writer is not None:
+                summary_writer.add_scalars(
+                    "Training vs. validation loss",
+                    {"Train": final_train_loss, "Valid": final_valid_loss},
+                    epoch + 1)
             best_model.update(params, validation_loss=final_valid_loss)
             from dss_tpu.train import save_train_state
 

@@ -95,6 +95,14 @@ def split_days(feature_files, test_day, valid_day):
 
 
 def main(cfg: TrainingConfiguration) -> None:
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        summary_writer = SummaryWriter(
+            log_dir=os.path.join(cfg.out_dir, "tensorboard"))
+    except Exception:
+        summary_writer = None
+
     best_model = StoreBestModel(
         filename=os.path.join(cfg.out_dir, "best_model.pth"),
         head_name="classifier",
@@ -183,6 +191,13 @@ def main(cfg: TrainingConfiguration) -> None:
             f"loss: {valid_loss:.04f} ({update_steps_counter:>6} update "
             f"steps) [Validation Accuracy: {val_score * 100:.02f}]"
         )
+        if summary_writer is not None:
+            summary_writer.add_scalars(
+                "Training vs. validation loss",
+                {"Train": sum(train_loss) / max(len(train_loss), 1),
+                 "Valid": valid_loss}, epoch + 1)
+            summary_writer.add_scalar("Validation accuracy", val_score,
+                                      epoch + 1)
         best_model.update(params, validation_acc=val_score,
                           info={"update_steps": update_steps_counter,
                                 "epoch": epoch + 1})

@@ -53,16 +53,18 @@ def _mulaw_decode(idx):
     return jnp.sign(y) * (jnp.exp(jnp.abs(y) * _LOG1P_MU) - 1.0) / _MU
 
 
-def _one_hot(idx_col, levels):
-    """idx_col [B, 1] int32 -> [B, levels] f32 one-hot."""
+def _one_hot(idx_col, levels, dtype=jnp.float32):
+    """idx_col [B, 1] int32 -> [B, levels] one-hot."""
     B = idx_col.shape[0]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (B, levels), 1)
-    return (lanes == idx_col).astype(jnp.float32)
+    return (lanes == idx_col).astype(dtype)
 
 
 def _gru(x, h, wx, wh, bx, bh, units):
-    gx = jnp.dot(x, wx, preferred_element_type=jnp.float32) + bx
-    gh = jnp.dot(h, wh, preferred_element_type=jnp.float32) + bh
+    gx = jnp.dot(x.astype(wx.dtype), wx,
+                 preferred_element_type=jnp.float32) + bx
+    gh = jnp.dot(h.astype(wh.dtype), wh,
+                 preferred_element_type=jnp.float32) + bh
     r = jax.nn.sigmoid(gx[:, :units] + gh[:, :units])
     z = jax.nn.sigmoid(gx[:, units:2 * units] + gh[:, units:2 * units])
     n = jnp.tanh(gx[:, 2 * units:] + r * gh[:, 2 * units:])
@@ -108,9 +110,10 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
             sig_mem = sig_mem_s[...]
             pred = -jnp.sum(sig_mem * lpc, axis=1, keepdims=True)  # [B,1]
 
-            oh_sig = _one_hot(_mulaw_encode(sig_mem[:, :1]), MULAW_LEVELS)
-            oh_pred = _one_hot(_mulaw_encode(pred), MULAW_LEVELS)
-            oh_exc = _one_hot(exc_s[...], MULAW_LEVELS)
+            wdt = emb_sig_ref.dtype
+            oh_sig = _one_hot(_mulaw_encode(sig_mem[:, :1]), MULAW_LEVELS, wdt)
+            oh_pred = _one_hot(_mulaw_encode(pred), MULAW_LEVELS, wdt)
+            oh_exc = _one_hot(exc_s[...], MULAW_LEVELS, wdt)
 
             e_sig = jnp.dot(oh_sig, emb_sig_ref[...],
                             preferred_element_type=jnp.float32)
@@ -119,20 +122,23 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
             e_exc = jnp.dot(oh_exc, emb_exc_ref[...],
                             preferred_element_type=jnp.float32)
 
-            x_a = jnp.concatenate([e_sig, e_pred, e_exc, cond], axis=1)
+            x_a = jnp.concatenate(
+                [e_sig, e_pred, e_exc, cond.astype(e_sig.dtype)], axis=1)
             h_a = _gru(x_a, h_a_s[...], gru_a_wx_ref[...], gru_a_wh_ref[...],
                        gru_a_bx_ref[...], gru_a_bh_ref[...], gru_a)
             h_a_s[...] = h_a
 
-            x_b = jnp.concatenate([h_a, cond], axis=1)
+            x_b = jnp.concatenate(
+                [h_a.astype(cond.dtype), cond], axis=1)
             h_b = _gru(x_b, h_b_s[...], gru_b_wx_ref[...], gru_b_wh_ref[...],
                        gru_b_bx_ref[...], gru_b_bh_ref[...], gru_b)
             h_b_s[...] = h_b
 
-            logits = (jnp.tanh(jnp.dot(h_b, out1_w_ref[...],
+            h_b_w = h_b.astype(out1_w_ref.dtype)
+            logits = (jnp.tanh(jnp.dot(h_b_w, out1_w_ref[...],
                                        preferred_element_type=jnp.float32))
                       * out1_g_ref[...]
-                      + jnp.tanh(jnp.dot(h_b, out2_w_ref[...],
+                      + jnp.tanh(jnp.dot(h_b_w, out2_w_ref[...],
                                          preferred_element_type=jnp.float32))
                       * out2_g_ref[...]
                       + out_b_ref[...])
@@ -176,9 +182,11 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("frame_size", "stochastic"))
+@partial(jax.jit, static_argnames=("frame_size", "stochastic",
+                                   "weight_dtype"))
 def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
-                  exc0, frame_size: int, stochastic: bool = True):
+                  exc0, frame_size: int, stochastic: bool = True,
+                  weight_dtype=jnp.bfloat16):
     """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T] int32."""
     T, B, cd = cond.shape
     lpc_order = lpc.shape[-1]
@@ -202,6 +210,12 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
         "gru_b_wx", "gru_b_wh", "gru_b_bx", "gru_b_bh",
         "fc_out1_w", "fc_out2_w", "fc_out1_g", "fc_out2_g", "fc_out_b",
     ]
+    # Large matrices stream from VMEM every sample step, which is the
+    # kernel's bottleneck at small batch — bf16 halves that traffic (MXU
+    # accumulation stays f32 via preferred_element_type). Biases/gains are
+    # tiny and stay f32.
+    matrix_keys = {"emb_sig", "emb_pred", "emb_exc", "gru_a_wx", "gru_a_wh",
+                   "gru_b_wx", "gru_b_wh", "fc_out1_w", "fc_out2_w"}
     weight_vals = []
     for k in weight_order:
         w = weights[k]
@@ -209,7 +223,8 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
             w = w * weights["gru_a_mask"]
         if w.ndim == 1:
             w = w[None, :]  # biases as [1, n] rows for clean broadcasting
-        weight_vals.append(jnp.asarray(w, jnp.float32))
+        dtype = weight_dtype if k in matrix_keys else jnp.float32
+        weight_vals.append(jnp.asarray(w, dtype))
 
     out_shapes = (
         jax.ShapeDtypeStruct((T, frame_size, B), jnp.float32),
@@ -256,7 +271,7 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
 
 def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
                           temperature, seeds, frame_size: int = 160,
-                          stochastic: bool = True):
+                          stochastic: bool = True, weight_dtype=None):
     """Synthesize T frames with the Pallas sampler.
 
     carry: (h_a [B,ga], h_b [B,gb], sig_mem [B,16], exc_idx [B]).
@@ -266,6 +281,10 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
     """
     del model
     h_a, h_b, sig_mem, exc_idx = carry
+    if weight_dtype is None:
+        # Small batches are weight-streaming-bound (bf16 wins ~40%); large
+        # batches amortize the streaming and f32 avoids the cast overhead.
+        weight_dtype = jnp.bfloat16 if cond_all.shape[0] < 32 else jnp.float32
     cond = jnp.moveaxis(jnp.asarray(cond_all, jnp.float32), 1, 0)
     lpc = jnp.moveaxis(jnp.asarray(lpc_all, jnp.float32), 1, 0)
     temp = jnp.moveaxis(jnp.asarray(temperature, jnp.float32), 1, 0)
@@ -275,6 +294,7 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
         jnp.asarray(sig_mem, jnp.float32),
         jnp.asarray(exc_idx, jnp.int32).reshape(-1, 1),
         frame_size=frame_size, stochastic=stochastic,
+        weight_dtype=weight_dtype,
     )
     T, F, B = sig.shape
     sig = jnp.moveaxis(sig.reshape(T * F, B), 0, 1)

@@ -81,6 +81,7 @@ def test_sampler_greedy_matches_jax_scan(rng):
         model, params, carry0, cond, lpc, temp,
         seeds=jnp.arange(T, dtype=jnp.int32), frame_size=F,
         stochastic=False,  # the CPU interpreter lacks the TPU PRNG
+        weight_dtype=jnp.float32,  # bitwise comparison vs the f32 scan
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_carry[0]),
