@@ -65,6 +65,7 @@ class NeuroprosthesisSettings(ez.Settings):
     address: str
     fs: int
     package_size: int
+    port: int = 5556
     bad_channels: Optional[Iterable] = None
     decoding_model_weights: Optional[Path] = None
     vad_model_weights: Optional[Path] = None
@@ -134,7 +135,8 @@ class Neuroprosthesis(ez.System):
 
     def configure(self) -> None:
         self.CONNECTOR.apply_settings(ZMQConnectorSettings(
-            fs=self.SETTINGS.fs, address=self.SETTINGS.address, port=5556,
+            fs=self.SETTINGS.fs, address=self.SETTINGS.address,
+            port=self.SETTINGS.port,
             idle_timeout=self.SETTINGS.idle_timeout,
         ))
 
@@ -241,6 +243,7 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
     return NeuroprosthesisSettings(
         destination_dir=destination_dir,
         address=settings_config.get("Decoding", "address"),
+        port=settings_config.getint("Decoding", "port", fallback=5556),
         fs=settings_config.getint("Decoding", "fs"),
         package_size=settings_config.getint("Decoding", "package_size"),
         bad_channels=bad_channels,

@@ -89,6 +89,34 @@ class SequentialSpeechTrials:
             f"Days covered: {', '.join(days)}"
         )
 
+    def plot_trial(self, index: int, stimuli_map=None, filename=None):
+        """Render one trial's features and targets side by side (parity:
+        reference local/training.py:111-132)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        hga, target = self[index]
+        label = (stimuli_map[self.trial_labels[index]] if stimuli_map
+                 else str(self.trial_labels[index]))
+        fig, (ax_hga, ax_t) = plt.subplots(2, 1, figsize=(14, 8), num=1,
+                                           clear=True)
+        ax_hga.set_title(
+            f"Label: {label}, Filename: {self.trial_filename[index]}",
+            loc="left")
+        ax_hga.imshow(hga.T, aspect="auto", origin="lower", cmap="bwr",
+                      vmin=-4, vmax=4)
+        ax_hga.set_ylabel("Channel", labelpad=-18)
+        t2 = target if target.ndim > 1 else target[:, None]
+        ax_t.imshow(t2.T, aspect="auto", origin="lower", cmap="viridis")
+        ax_t.set_ylabel("Target", labelpad=-18)
+        if filename:
+            plt.savefig(filename, dpi=72)
+        else:
+            plt.show()
+        plt.close(fig)
+
 
 def padded_batches(
     dataset,
