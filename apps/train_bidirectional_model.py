@@ -46,6 +46,7 @@ class TrainingConfiguration:
     valid_day: str
     seed: int = 0
     resume: bool = False
+    folds: int = 1
 
 
 def main(cfg: TrainingConfiguration) -> None:
@@ -78,6 +79,7 @@ def main(cfg: TrainingConfiguration) -> None:
     kf = LeaveOneDayOut()
     syn_queue = AsynchronousSynthesisQueue(nb_processes=8)
     synthesized_orig = False
+    completed_folds = 0
     for train_days, test_day in kf.split(X=groups_by_day.keys(),
                                          start_with_day=cfg.test_day):
         kf_va = LeaveOneDayOut()
@@ -199,9 +201,12 @@ def main(cfg: TrainingConfiguration) -> None:
             np.save(train_filename, train_sentences)
             syn_queue.add_job(filename=train_filename, verbose=0)
 
-        syn_queue.wait()
-        # Reference processes only the first fold (train_bidirectional_model.py:246-247).
-        return
+        completed_folds += 1
+        if completed_folds >= cfg.folds:
+            syn_queue.wait()
+            # Reference default: only the first fold
+            # (train_bidirectional_model.py:246-247); --folds N extends it.
+            return
 
 
 if __name__ == "__main__":
@@ -214,6 +219,9 @@ if __name__ == "__main__":
     parser.add_argument("--epochs", default="100", help="Number of training epochs.")
     parser.add_argument("--resume", action="store_true",
                         help="Resume from out_dir/train_state.pkl if present.")
+    parser.add_argument("--folds", type=int, default=1,
+                        help="Number of leave-one-day-out folds to run "
+                             "(reference default: 1).")
     args = parser.parse_args()
     out_dir = Path(args.out_dir)
 
@@ -228,6 +236,7 @@ if __name__ == "__main__":
         test_day=args.test_day,
         valid_day=args.val_day,
         resume=getattr(args, 'resume', False),
+        folds=int(getattr(args, 'folds', 1)),
     )
 
     os.makedirs(out_dir.as_posix(), exist_ok=True)

@@ -11,7 +11,7 @@ import ctypes
 import logging
 import os
 import subprocess
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

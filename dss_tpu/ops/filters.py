@@ -33,8 +33,6 @@ Filter design itself happens once on the host via scipy.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

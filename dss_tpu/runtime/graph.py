@@ -22,7 +22,7 @@ import asyncio
 import dataclasses
 import inspect
 import logging
-from typing import Any, AsyncGenerator, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 logger = logging.getLogger("dss_tpu.runtime")
 

@@ -8,7 +8,7 @@ cumulative frame counter for latency/alignment bookkeeping.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -29,7 +29,7 @@ import sys
 import time
 from dataclasses import replace
 from pathlib import Path
-from typing import Any, AsyncGenerator, Callable, Iterable, List, Optional
+from typing import Any, AsyncGenerator, Callable, List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -38,7 +38,7 @@ from ..models.torch_port import load_checkpoint
 from ..ops.hga import HighGammaExtractor
 from ..ops.ringbuffer import SpeechSegmentHistory, VoiceActivityDetectionSmoothing
 from ..utils.audio import write_wav
-from .graph import InputStream, OutputStream, Settings, State, Unit, \
+from .graph import InputStream, OutputStream, Settings, Unit, \
     publisher, subscriber
 from .messages import ClosedLoopMessage, TimeSeriesMessage
 

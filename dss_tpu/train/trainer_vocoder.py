@@ -27,7 +27,7 @@ import optax
 from ..vocoder.features import LPCFeatureEncoder
 from ..vocoder.lpc import FRAME_SIZE, LPC_ORDER, NB_BANDS, PREEMPH, \
     bands_from_cepstrum, lpc_from_bands
-from ..vocoder.mulaw import MULAW_LEVELS, mulaw_decode, mulaw_encode
+from ..vocoder.mulaw import MULAW_LEVELS, mulaw_encode
 from ..vocoder.net import FEAT_CONTEXT, LPCNetModel
 
 

@@ -111,10 +111,6 @@ class BatchedLPCNet:
         self.backend = backend
         self.use_pallas = use_pallas
         if backend == "dsp":
-            import jax
-
-            from .dsp import dsp_vocoder_init
-
             self._states = [LPCVocoder(seed=seed + i) for i in range(batch)]
         else:
             self._model = model if model is not None else LPCNetModel()

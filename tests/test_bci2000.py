@@ -101,3 +101,20 @@ def test_peak_normalize():
     np.testing.assert_array_equal(
         peak_normalize(np.zeros(5, np.int16)), np.zeros(5, np.int16)
     )
+
+
+def test_trial_indices_to_lab(tmp_path):
+    from dss_tpu.utils import Experiment
+
+    fn = tmp_path / "trials.lab"
+    Experiment.trial_indices_to_lab(
+        str(fn), [("Enter", 1000, 3000), ("Right", 4000, 6000)], fs=1000)
+    assert fn.read_text() == "1.000\t3.000\tEnter\n4.000\t6.000\tRight\n"
+
+
+def test_experiment_run_indices():
+    code = np.array([0] * 10 + [1] * 20 + [0] * 10 + [2] * 20 + [0] * 10)
+    exp = KeywordReading(code, ["Enter", "Right"])
+    name, start, stop = exp.get_experiment_run_indices()
+    assert start == 10  # first code change
+    assert stop == 60   # last trial's end

@@ -14,7 +14,6 @@ import threading
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from scipy.io import savemat
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
@@ -81,7 +80,7 @@ def test_closed_loop(tmp_path, monkeypatch):
         address="127.0.0.1",
         fs=1000,
         package_size=40,
-        idle_timeout=3.0,
+        idle_timeout=8.0,
         vocoder_backend="dsp",
     )
     system = decode_online.Neuroprosthesis(settings)
@@ -108,7 +107,7 @@ def test_closed_loop(tmp_path, monkeypatch):
     def reconfigure_port():
         configure()
         system.CONNECTOR.apply_settings(ZMQConnectorSettings(
-            fs=1000, address="127.0.0.1", port=PORT, idle_timeout=3.0,
+            fs=1000, address="127.0.0.1", port=PORT, idle_timeout=8.0,
         ))
 
     system.configure = reconfigure_port
@@ -128,16 +127,26 @@ def test_closed_loop(tmp_path, monkeypatch):
 
     monkeypatch.setattr(units_mod.sys, "stdout", fake_stdout)
 
-    amplifier = Amplifier(mat_file=str(mat_path), package_size=40,
-                          loop=False, seconds=0, port=PORT)
-    amp_thread = threading.Thread(target=amplifier.stream, daemon=True)
+    # Two replay sessions back to back through one decode run: the stream
+    # "restarts" (amplifier process dies and a new one binds) and the decoder
+    # must keep segmenting — the reference's stream-restart story
+    # (WarmStartFrameBuffer.reset / ZMQ auto-reconnect).
+    def run_amplifiers():
+        for _ in range(2):
+            # epsilon=5ms: the default 100ns spin-wait would starve the
+            # decoder on a single-core test machine and drop packets.
+            amp = Amplifier(mat_file=str(mat_path), package_size=40,
+                            loop=False, seconds=0, port=PORT, epsilon=0.005)
+            amp.stream()
+            amp.close()
+
+    amp_thread = threading.Thread(target=run_amplifiers, daemon=True)
     amp_thread.start()
 
     import dss_tpu.runtime as ez
 
     ez.run_system(system)
     amp_thread.join(timeout=10)
-    amplifier.close()
 
     # Raw log: one float64 row per streamed sample, all 129 recorded
     # channels (128 ECoG + audio) exactly as the amplifier sends them.
@@ -148,9 +157,10 @@ def test_closed_loop(tmp_path, monkeypatch):
     hga = np.fromfile(run_dir / "log.hga.f64", np.float64).reshape(-1, 64)
     assert len(hga) >= len(raw) // 10 - 10
 
-    # The burst must have been segmented, decoded, and vocoded.
+    # Both bursts (one per replay session) must have been segmented,
+    # decoded, and vocoded.
     vad_lines = (run_dir / "log.vad.lab").read_text().strip().split("\n")
-    assert len(vad_lines) >= 1 and vad_lines[0]
+    assert len(vad_lines) >= 2, vad_lines
     start, stop, label = vad_lines[0].split("\t")
     # Burst spans 2.0-3.5 s; segment includes 0.5 s trailing context and the
     # smoothing delay, so start should be near 2 s (within the 1 s warmup
@@ -164,9 +174,15 @@ def test_closed_loop(tmp_path, monkeypatch):
 
     wav_file = run_dir / "reco" / "reco_00001.wav"
     assert wav_file.exists()
+    assert (run_dir / "reco" / "reco_00002.wav").exists()
     from scipy.io.wavfile import read as wavread
 
     fs, pcm = wavread(str(wav_file))
     assert fs == 16000
-    assert len(pcm) == len(lpc) * 160
     assert pcm.dtype == np.int16
+    # All decoded frames were vocoded across the segments.
+    total = sum(
+        len(wavread(str(run_dir / "reco" / f"reco_{i + 1:05d}.wav"))[1])
+        for i in range(len(vad_lines))
+    )
+    assert total == len(lpc) * 160

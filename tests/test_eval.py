@@ -124,3 +124,39 @@ def test_vad_timings():
     assert t.shape == (2, 2)
     np.testing.assert_allclose(t[0], [0.02, 0.04])
     np.testing.assert_allclose(t[1], [0.07, 0.07])
+
+
+def test_suppl_fig_2(tmp_path, rng):
+    """Per-channel spectrogram-change figure renders from synthetic
+    recordings (full 128-channel grid layout)."""
+    import suppl_fig_2 as sf2
+
+    fs = 1000
+    T = 14 * fs
+    code = np.zeros(T, np.int16)
+    for i in range(3):
+        code[(1 + i * 4) * fs:(3 + i * 4) * fs] = 1
+    base = {
+        "parameters": {
+            "SamplingRate": {"NumericValue": fs},
+            "SourceChGain": {"NumericValue": np.ones(129)},
+            "Stimuli": {"Value": np.array([["Enter"], ["1"]], dtype=object)},
+        },
+        "states": {"StimulusCode": code},
+    }
+    mat = dict(base)
+    env = np.where(code > 0, 3.0, 0.2)
+    signal = rng.normal(size=(T, 129))
+    signal[:, 128] *= env * 10000  # audio channel with speech bursts
+    mat["signal"] = signal
+    mat_file = tmp_path / "KeywordReading_Overt_R01.mat"
+    savemat(str(mat_file), mat)
+
+    cal = dict(base)
+    cal["signal"] = rng.normal(size=(T, 129))
+    cal_file = tmp_path / "SyllableRepetition_Overt.mat"
+    savemat(str(cal_file), cal)
+
+    sf2.gen_power_spectral_analysis_figure(
+        mat_file, cal_file, out_dir=tmp_path / "out")
+    assert (tmp_path / "out" / "suppl_fig_2.png").exists()
