@@ -60,6 +60,16 @@ def _one_hot(idx_col, levels, dtype=jnp.float32):
     return (lanes == idx_col).astype(dtype)
 
 
+def _gru_pre(gx, h, wh, bh, units):
+    """GRU update from a precomputed input projection gx = x @ wx + bx."""
+    gh = jnp.dot(h.astype(wh.dtype), wh,
+                 preferred_element_type=jnp.float32) + bh
+    r = jax.nn.sigmoid(gx[:, :units] + gh[:, :units])
+    z = jax.nn.sigmoid(gx[:, units:2 * units] + gh[:, units:2 * units])
+    n = jnp.tanh(gx[:, 2 * units:] + r * gh[:, 2 * units:])
+    return (1.0 - z) * n + z * h
+
+
 def _gru(x, h, wx, wh, bx, bh, units):
     gx = jnp.dot(x.astype(wx.dtype), wx,
                  preferred_element_type=jnp.float32) + bx
@@ -106,6 +116,18 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
         temp = temp_ref[0]          # [B, 1]
         greedy = temp[0, 0] < 0.0
 
+        # The conditioning vector is constant within a frame: its input-gate
+        # contribution for both GRUs is computed ONCE per frame, saving the
+        # cond rows of Wx from streaming through the MXU on every sample.
+        emb_rows = 3 * embed_dim
+        cond_w = cond.astype(gru_a_wx_ref.dtype)
+        gx_a_cond = jnp.dot(cond_w, gru_a_wx_ref[pl.ds(emb_rows, cond_dim), :],
+                            preferred_element_type=jnp.float32) \
+            + gru_a_bx_ref[...]
+        gx_b_cond = jnp.dot(cond_w, gru_b_wx_ref[pl.ds(gru_a, cond_dim), :],
+                            preferred_element_type=jnp.float32) \
+            + gru_b_bx_ref[...]
+
         def step(i, _):
             sig_mem = sig_mem_s[...]
             pred = -jnp.sum(sig_mem * lpc, axis=1, keepdims=True)  # [B,1]
@@ -122,16 +144,19 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
             e_exc = jnp.dot(oh_exc, emb_exc_ref[...],
                             preferred_element_type=jnp.float32)
 
-            x_a = jnp.concatenate(
-                [e_sig, e_pred, e_exc, cond.astype(e_sig.dtype)], axis=1)
-            h_a = _gru(x_a, h_a_s[...], gru_a_wx_ref[...], gru_a_wh_ref[...],
-                       gru_a_bx_ref[...], gru_a_bh_ref[...], gru_a)
+            x_emb = jnp.concatenate([e_sig, e_pred, e_exc], axis=1)
+            gx_a = jnp.dot(x_emb.astype(gru_a_wx_ref.dtype),
+                           gru_a_wx_ref[pl.ds(0, emb_rows), :],
+                           preferred_element_type=jnp.float32) + gx_a_cond
+            h_a = _gru_pre(gx_a, h_a_s[...], gru_a_wh_ref[...],
+                           gru_a_bh_ref[...], gru_a)
             h_a_s[...] = h_a
 
-            x_b = jnp.concatenate(
-                [h_a.astype(cond.dtype), cond], axis=1)
-            h_b = _gru(x_b, h_b_s[...], gru_b_wx_ref[...], gru_b_wh_ref[...],
-                       gru_b_bx_ref[...], gru_b_bh_ref[...], gru_b)
+            gx_b = jnp.dot(h_a.astype(gru_b_wx_ref.dtype),
+                           gru_b_wx_ref[pl.ds(0, gru_a), :],
+                           preferred_element_type=jnp.float32) + gx_b_cond
+            h_b = _gru_pre(gx_b, h_b_s[...], gru_b_wh_ref[...],
+                           gru_b_bh_ref[...], gru_b)
             h_b_s[...] = h_b
 
             h_b_w = h_b.astype(out1_w_ref.dtype)
