@@ -1,0 +1,18 @@
+"""Evaluation-layer core logic (figure scripts live in eval/ at the repo
+root; the analysis math lives here so it is importable and testable)."""
+
+from .contamination import (
+    analyze_day,
+    band_spectrogram,
+    detect_artifacts,
+    lagged_correlation_measure,
+    surrogate_measures,
+)
+
+__all__ = [
+    "analyze_day",
+    "band_spectrogram",
+    "detect_artifacts",
+    "lagged_correlation_measure",
+    "surrogate_measures",
+]

@@ -96,9 +96,8 @@ def test_contamination_pipeline(tmp_path, rng):
             dict(fs=fs, ecog=ecog_dirty, audio=audio))
 
     # Shrink the surrogate count for test speed.
-    ca.NB_SURROGATES = 500
     for f in sorted(agg.glob("*.mat")):
-        ca.analyze_day(f, analysis)
+        ca.analyze_day(f, analysis, nb_surrogates=500)
 
     clean = loadmat(str(analysis / "2022_09_22_contamination_result.mat"),
                     simplify_cells=True)["out"]
