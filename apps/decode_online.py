@@ -263,6 +263,9 @@ if __name__ == "__main__":
                     "delayed acoustic feedback.")
     parser.add_argument("config", help="Path of the config file on how to set "
                                        "up the BCI system.")
+    parser.add_argument("--profile-dir", default=None,
+                        help="Capture a jax.profiler trace of the run into "
+                             "this directory (TensorBoard-viewable).")
     parser.add_argument("--platform", default=None,
                         help="Force a JAX platform (e.g. 'cpu', 'tpu'). "
                              "Useful when the default device is remote or "
@@ -301,4 +304,10 @@ if __name__ == "__main__":
     logger.info(f"python decode_online.py {args.config} --run {args.run} {overwrite}")
     logger.info(f"Setting destination dir to {settings.destination_dir}")
 
-    main(settings)
+    if args.profile_dir:
+        from dss_tpu.utils.profiling import device_trace
+
+        with device_trace(args.profile_dir):
+            main(settings)
+    else:
+        main(settings)

@@ -28,7 +28,7 @@ def _log(msg: str) -> None:
 
 
 def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
-                   chain: int = 8) -> dict:
+                   chain: int = 16, chain_reps: int = 3) -> dict:
     """Vocoder real-time factors for one compiled shape.
 
     Two numbers: ``rtf_call`` includes the per-call host round trip (the
@@ -69,12 +69,14 @@ def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
         _sync(pcm)
         t_single = min(t_single, time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    for _ in range(chain):
-        pcm, st = net_synthesize_frames(model, params, st, feats,
-                                        use_pallas=use_pallas)
-    _sync(pcm)
-    t_chain = time.perf_counter() - t0
+    t_chain = np.inf
+    for _ in range(chain_reps):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            pcm, st = net_synthesize_frames(model, params, st, feats,
+                                            use_pallas=use_pallas)
+        _sync(pcm)
+        t_chain = min(t_chain, time.perf_counter() - t0)
 
     rtf_call = audio_seconds / t_single
     rtf_device = audio_seconds * (chain - 1) / max(t_chain - t_single, 1e-9)

@@ -124,3 +124,17 @@ def test_vad_logger_format(tmp_path):
     asyncio.run(logger.write(msg))
     logger.shutdown()
     assert fn.read_text() == "2.50\t3.70\t120 frames\n"
+
+
+def test_stage_timer():
+    from dss_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
+    with timer.stage("a"):
+        pass
+    timer.record("a", 5.0)
+    timer.record("b", 1.0)
+    summary = timer.summary()
+    assert summary["a"]["count"] == 2
+    assert summary["b"]["p50_ms"] == 1.0
+    timer.log_summary()  # must not raise
