@@ -31,6 +31,8 @@ from dss_tpu.ops import (  # noqa: E402
 )
 from dss_tpu.runtime.units import (  # noqa: E402
     BinaryLogger,
+    FusedFrontendVad,
+    FusedFrontendVadSettings,
     DelayedLPCNetVocoder,
     DelayedLPCNetVocoderSettings,
     DelayedStdoutForSoX,
@@ -74,6 +76,9 @@ class NeuroprosthesisSettings(ez.Settings):
     vocoder_backend: str = "dsp"
     vocoder_weights: Optional[str] = None
     idle_timeout: Optional[float] = None
+    # Fuse front-end + nVAD into one device dispatch per packet (halves the
+    # per-packet round trips; identical outputs).
+    fused_frontend: bool = False
 
 
 class Neuroprosthesis(ez.System):
@@ -83,6 +88,7 @@ class Neuroprosthesis(ez.System):
     CONNECTOR = ZMQConnector()
     FEATURE_EXTRACTOR = HighGammaActivity()
     SPEECH_FILTER = FilterSpeechSegments()
+    FUSED_FRONTEND = FusedFrontendVad()
     DECODING_MODEL = RecurrentNeuralDecodingModel()
     WAVEFORM_GENERATOR = DelayedLPCNetVocoder()
     LOUDSPEAKER = DelayedStdoutForSoX()
@@ -142,6 +148,26 @@ class Neuroprosthesis(ez.System):
 
         pre_transforms, post_transforms, nb_features = \
             self.configure_feature_transforms()
+        nb_electrodes = len(SelectElectrodesOverSpeechAreas())
+        if self.SETTINGS.fused_frontend:
+            delattr(self, "FEATURE_EXTRACTOR")
+            delattr(self, "SPEECH_FILTER")
+            self.FUSED_FRONTEND.apply_settings(FusedFrontendVadSettings(
+                nb_features=nb_features, fs=self.SETTINGS.fs,
+                buffer_size=2000, context_frames=50,
+                pre_transforms=pre_transforms,
+                post_transforms=[post_transforms],
+                package_size=self.SETTINGS.package_size, raw_channels=129,
+                vad_architecture=UnidirectionalVoiceActivityDetector,
+                vad_weights_path=(
+                    Path(self.SETTINGS.vad_model_weights)
+                    if self.SETTINGS.vad_model_weights is not None else None
+                ),
+                vad_parameters=dict(nb_layer=2, nb_hidden_units=150,
+                                    nb_electrodes=nb_electrodes),
+            ))
+        else:
+            delattr(self, "FUSED_FRONTEND")
         self.FEATURE_EXTRACTOR.apply_settings(HighGammaActivitySettings(
             fs=self.SETTINGS.fs, nb_electrodes=nb_features,
             pre_transforms=pre_transforms, post_transforms=[post_transforms],
@@ -150,7 +176,6 @@ class Neuroprosthesis(ez.System):
         ))
 
         logger.info(f"VAD model weights: {self.SETTINGS.vad_model_weights}")
-        nb_electrodes = len(SelectElectrodesOverSpeechAreas())
         self.SPEECH_FILTER.apply_settings(FilterSpeechSegmentsSettings(
             nb_features=nb_features, fs=self.SETTINGS.fs, buffer_size=2000,
             context_frames=50,
@@ -195,6 +220,18 @@ class Neuroprosthesis(ez.System):
             overwrite=True))
 
     def network(self) -> ez.NetworkDefinition:
+        if self.SETTINGS.fused_frontend:
+            return (
+                (self.CONNECTOR.OUTPUT, self.FUSED_FRONTEND.INPUT),
+                (self.FUSED_FRONTEND.OUTPUT, self.DECODING_MODEL.INPUT),
+                (self.DECODING_MODEL.OUTPUT, self.WAVEFORM_GENERATOR.INPUT),
+                (self.WAVEFORM_GENERATOR.OUTPUT, self.LOUDSPEAKER.INPUT),
+                (self.CONNECTOR.OUTPUT, self.RAW_LOGGER.INPUT),
+                (self.FUSED_FRONTEND.FEATURES, self.HGA_LOGGER.INPUT),
+                (self.FUSED_FRONTEND.OUTPUT, self.VAD_LOGGER.INPUT),
+                (self.DECODING_MODEL.OUTPUT, self.LPC_LOGGER.INPUT),
+                (self.WAVEFORM_GENERATOR.OUTPUT, self.WAV_LOGGER.INPUT),
+            )
         return (
             # Main route
             (self.CONNECTOR.OUTPUT, self.FEATURE_EXTRACTOR.INPUT),
@@ -236,6 +273,8 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
     vocoder_backend = optional("Decoding", "vocoder_backend") or "dsp"
     vocoder_weights = optional("Decoding", "vocoder_weights")
     idle_timeout = optional("Decoding", "idle_timeout", float)
+    fused_frontend = (optional("Decoding", "fused_frontend") or "").lower() \
+        in ("1", "true", "yes")
 
     base_out_dir = settings_config.get("Decoding", "base_out_dir")
     destination_dir = os.path.join(base_out_dir, run_name)
@@ -254,6 +293,7 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
         vocoder_backend=vocoder_backend,
         vocoder_weights=vocoder_weights,
         idle_timeout=idle_timeout,
+        fused_frontend=fused_frontend,
     )
 
 

@@ -182,11 +182,11 @@ class System:
         return ()
 
     def units(self) -> List[Unit]:
+        """Active units = the instance's own attributes; ``configure()`` may
+        delattr class-declared units it decides not to use (e.g. optional
+        fused paths), and those must not be initialized."""
         seen: List[Unit] = []
-        for name in dir(self):
-            if name.startswith("__"):
-                continue
-            value = getattr(self, name)
+        for value in vars(self).values():
             if isinstance(value, Unit) and value not in seen:
                 seen.append(value)
         return seen

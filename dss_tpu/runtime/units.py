@@ -359,6 +359,125 @@ class FilterSpeechSegments(Unit):
             )
 
 
+class FusedFrontendVadSettings(Settings):
+    """Settings for the fused packet path (front-end + nVAD in ONE device
+    program — no reference counterpart; halves per-packet dispatches)."""
+
+    nb_features: int
+    fs: int
+    buffer_size: int
+    context_frames: int = 0
+    window_length: float = 0.05
+    window_shift: float = 0.01
+    pre_transforms: Transforms = None
+    post_transforms: Transforms = None
+    package_size: int = 40
+    raw_channels: int = 129
+    vad_architecture: Any = None
+    vad_weights_path: Optional[Path] = None
+    vad_parameters: Optional[dict] = None
+
+
+class FusedFrontendVad(Unit):
+    """Packet -> features -> VAD logits in a single jitted dispatch.
+
+    Functionally identical to HighGammaActivity + FilterSpeechSegments in
+    series (same carried states, same smoothing/segment assembly on the
+    host), but the per-packet critical path costs one device round trip
+    instead of two.  Publishes the feature stream on FEATURES (for the
+    log.hga tap) and completed speech segments on OUTPUT.
+    """
+
+    SETTINGS: FusedFrontendVadSettings
+    INPUT = InputStream(ClosedLoopMessage)
+    FEATURES = OutputStream(ClosedLoopMessage)
+    OUTPUT = OutputStream(ClosedLoopMessage)
+
+    def initialize(self) -> None:
+        import jax
+
+        s = self.SETTINGS
+        self._extractor = HighGammaExtractor(
+            fs=s.fs, nb_electrodes=s.nb_features,
+            window_length=s.window_length, window_shift=s.window_shift,
+            pre_transforms=s.pre_transforms, post_transforms=s.post_transforms,
+        )
+        params = s.vad_parameters or {}
+        self._model = s.vad_architecture(**params)
+        if s.vad_weights_path is not None:
+            self._params = load_checkpoint(
+                Path(s.vad_weights_path).as_posix(), self._model.nb_layer,
+                bidirectional=False, head_name="classifier",
+            )
+        else:
+            self._params = self._model.init(jax.random.PRNGKey(0))
+
+        self._history = SpeechSegmentHistory(
+            nb_features=s.nb_features, buffer_size=s.buffer_size,
+            context=s.context_frames,
+        )
+        self._smoothing = VoiceActivityDetectionSmoothing(
+            nb_features=s.nb_features, context_frames=5
+        )
+        self._frame_counter = 0
+        self._first = True
+
+        extractor = self._extractor
+        model = self._model
+        params = self._params
+
+        @jax.jit
+        def packet_path(fe_state, vad_state, packet):
+            feats, fe_state = extractor.packet_step(fe_state, packet)
+            logits, vad_state = model.apply(params, feats[None], vad_state)
+            labels = jnp.argmax(logits, axis=-1)[0]
+            return fe_state, vad_state, feats, labels
+
+        self._packet_path = packet_path
+        self._fe_state = extractor.init_state()
+        self._vad_state = model.create_new_initial_state(batch_size=1)
+
+        # Warm up both shapes used live.
+        dummy = jnp.zeros((s.package_size, s.raw_channels), jnp.float32)
+        out = packet_path(extractor.init_state(),
+                          model.create_new_initial_state(batch_size=1), dummy)
+        jax.block_until_ready(out[2])
+
+    @subscriber(INPUT)
+    @publisher(FEATURES)
+    @publisher(OUTPUT)
+    async def process(self, msg: ClosedLoopMessage) -> AsyncGenerator:
+        self._fe_state, self._vad_state, feats, labels = self._packet_path(
+            self._fe_state, self._vad_state,
+            jnp.asarray(msg.data, jnp.float32),
+        )
+        feats = np.asarray(feats, np.float64)
+        labels = np.asarray(labels)
+        if self._first:
+            k = self._extractor.warmup_frames(msg.data.shape[0])
+            feats = feats[k:]
+            labels = labels[k:]
+            self._first = False
+
+        yield self.FEATURES, replace(
+            msg, data=feats, fs=1 / self.SETTINGS.window_shift
+        )
+
+        data, predictions = self._smoothing.insert(
+            data=feats.astype(np.float32), speech_labels=labels
+        )
+        segments = self._history.insert(data=data, speech_labels=predictions)
+        self._frame_counter += len(feats)
+        for segment in segments:
+            previous_frames = (
+                self._frame_counter - len(segment)
+                - (len(feats) - int(np.count_nonzero(predictions)))
+            )
+            yield self.OUTPUT, replace(
+                msg, data=segment, fs=100, previous_frames=previous_frames
+            )
+
+
 class RecurrentNeuralDecodingModelSettings(Settings):
     path_to_model_weights: Optional[str]
     model: Any

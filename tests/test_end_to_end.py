@@ -14,6 +14,7 @@ import threading
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.io import savemat
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
@@ -65,7 +66,8 @@ class _ThresholdVAD:
         return logits, state
 
 
-def test_closed_loop(tmp_path, monkeypatch):
+@pytest.mark.parametrize("fused", [False, True])
+def test_closed_loop(tmp_path, monkeypatch, fused):
     mat_path = tmp_path / "KeywordSynthesis_Overt_R01.mat"
     _make_session_mat(mat_path)
 
@@ -82,30 +84,43 @@ def test_closed_loop(tmp_path, monkeypatch):
         package_size=40,
         idle_timeout=8.0,
         vocoder_backend="dsp",
+        fused_frontend=fused,
     )
     system = decode_online.Neuroprosthesis(settings)
 
-    # Swap the trained VAD for the deterministic threshold stand-in.
+    # Swap the trained VAD for the deterministic threshold stand-in and
+    # point the connector at the test port.
     original_configure = system.configure
-
-    def configure():
-        original_configure()
-        s = system.SPEECH_FILTER.SETTINGS
-        system.SPEECH_FILTER.apply_settings(
-            type(s)(
-                nb_features=s.nb_features, fs=s.fs, buffer_size=s.buffer_size,
-                context_frames=s.context_frames,
-                vad_architecture=_ThresholdVAD,
-                vad_weights_path=None, vad_parameters=None,
-            )
-        )
-
-    system.configure = configure
-    # Point the connector at the test port.
     from dss_tpu.runtime.units import ZMQConnectorSettings
 
     def reconfigure_port():
-        configure()
+        original_configure()
+        if fused:
+            s = system.FUSED_FRONTEND.SETTINGS
+            system.FUSED_FRONTEND.apply_settings(
+                type(s)(
+                    nb_features=s.nb_features, fs=s.fs,
+                    buffer_size=s.buffer_size,
+                    context_frames=s.context_frames,
+                    pre_transforms=s.pre_transforms,
+                    post_transforms=s.post_transforms,
+                    package_size=s.package_size,
+                    raw_channels=s.raw_channels,
+                    vad_architecture=_ThresholdVAD,
+                    vad_weights_path=None, vad_parameters=None,
+                )
+            )
+        else:
+            s = system.SPEECH_FILTER.SETTINGS
+            system.SPEECH_FILTER.apply_settings(
+                type(s)(
+                    nb_features=s.nb_features, fs=s.fs,
+                    buffer_size=s.buffer_size,
+                    context_frames=s.context_frames,
+                    vad_architecture=_ThresholdVAD,
+                    vad_weights_path=None, vad_parameters=None,
+                )
+            )
         system.CONNECTOR.apply_settings(ZMQConnectorSettings(
             fs=1000, address="127.0.0.1", port=PORT, idle_timeout=8.0,
         ))
