@@ -246,16 +246,27 @@ async def _run_subscriber(unit: Unit, fn, queue: asyncio.Queue,
         if message is _SHUTDOWN:
             queue.task_done()
             break
-        result = fn(message)
-        if inspect.isasyncgen(result):
-            async for item in result:
-                if item is None:
-                    continue
-                port_ref, out_msg = item
-                await router.publish(_bind(unit, port_ref), out_msg)
-        elif inspect.iscoroutine(result):
-            await result
-        queue.task_done()
+        try:
+            result = fn(message)
+            if inspect.isasyncgen(result):
+                async for item in result:
+                    if item is None:
+                        continue
+                    port_ref, out_msg = item
+                    await router.publish(_bind(unit, port_ref), out_msg)
+            elif inspect.iscoroutine(result):
+                await result
+        except Exception:
+            # Contain per-message failures: a crashing handler must not
+            # wedge the whole graph (queue joins would deadlock) — log and
+            # keep consuming, mirroring the reference's swallow-per-job
+            # behavior (local/training.py:196-198).
+            logger.exception(
+                f"handler error in {type(unit).__name__}.{fn.__name__}; "
+                f"message dropped"
+            )
+        finally:
+            queue.task_done()
 
 
 class _Shutdown:

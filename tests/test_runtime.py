@@ -138,3 +138,40 @@ def test_stage_timer():
     assert summary["a"]["count"] == 2
     assert summary["b"]["p50_ms"] == 1.0
     timer.log_summary()  # must not raise
+
+
+class _Exploder(ez.Unit):
+    INPUT = ez.InputStream(TimeSeriesMessage)
+
+    def initialize(self):
+        self.seen = 0
+
+    @ez.subscriber(INPUT)
+    async def boom(self, msg):
+        self.seen += 1
+        if self.seen == 2:
+            raise RuntimeError("boom")
+
+
+class _ExplodingSystem(ez.System):
+    SOURCE = _NumberSource()
+    BAD = _Exploder()
+    SINK = _Collector()
+
+    def configure(self):
+        self.SOURCE.apply_settings(_NumberSourceSettings(count=5))
+
+    def network(self):
+        return (
+            (self.SOURCE.OUTPUT, self.BAD.INPUT),
+            (self.SOURCE.OUTPUT, self.SINK.INPUT),
+        )
+
+
+def test_handler_error_does_not_wedge_graph():
+    """A crashing handler drops that message and the graph still drains and
+    shuts down cleanly (no deadlocked queue joins)."""
+    system = _ExplodingSystem()
+    ez.run_system(system)
+    assert system.BAD.seen == 5      # kept consuming after the error
+    assert system.SINK.items == [0, 1, 2, 3, 4]
