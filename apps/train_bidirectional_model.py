@@ -26,6 +26,7 @@ from dss_tpu.train import (  # noqa: E402
     AsynchronousSynthesisQueue,
     SequentialSpeechTrials,
     StoreBestModel,
+    padded_batches,
 )
 from dss_tpu.train.trainer_decoder import DecoderTrainer  # noqa: E402
 from dss_tpu.utils import LeaveOneDayOut, SelectElectrodesOverSpeechAreas  # noqa: E402
@@ -131,15 +132,24 @@ def main(cfg: TrainingConfiguration) -> None:
         for epoch in range(start_epoch, cfg.nb_epochs):
             train_loss = 0.0
             seen = 0
-            order = rng.permutation(len(tr_dataset))
-            for idx in order:
-                x, y = tr_dataset[int(idx)]
-                xp, yp, m = trainer.pad_trial(x, y)
-                key, dk = jax.random.split(key)
-                params, opt_state, loss = trainer.train_step(
-                    params, opt_state, xp, yp, m, dk)
-                train_loss += float(loss)
-                seen += 1
+            if cfg.batch_size > 1:
+                for xp, yp, m in padded_batches(tr_dataset, cfg.batch_size,
+                                                rng=rng):
+                    key, dk = jax.random.split(key)
+                    params, opt_state, loss = trainer.train_step(
+                        params, opt_state, xp, yp, m, dk)
+                    train_loss += float(loss)
+                    seen += 1
+            else:
+                order = rng.permutation(len(tr_dataset))
+                for idx in order:
+                    x, y = tr_dataset[int(idx)]
+                    xp, yp, m = trainer.pad_trial(x, y)
+                    key, dk = jax.random.split(key)
+                    params, opt_state, loss = trainer.train_step(
+                        params, opt_state, xp, yp, m, dk)
+                    train_loss += float(loss)
+                    seen += 1
             final_train_loss = train_loss / max(seen, 1)
 
             valid_loss = 0.0
@@ -219,6 +229,9 @@ if __name__ == "__main__":
     parser.add_argument("--epochs", default="100", help="Number of training epochs.")
     parser.add_argument("--resume", action="store_true",
                         help="Resume from out_dir/train_state.pkl if present.")
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="Trials per update (padded+masked data "
+                             "parallelism; reference recipe uses 1).")
     parser.add_argument("--folds", type=int, default=1,
                         help="Number of leave-one-day-out folds to run "
                              "(reference default: 1).")
@@ -229,7 +242,7 @@ if __name__ == "__main__":
         nb_hidden_units=100,
         nb_layer=2,
         nb_epochs=int(args.epochs),
-        batch_size=1,
+        batch_size=int(getattr(args, "batch_size", 1)),
         num_workers=4,
         speech_corpus_root=Path(args.corpus_dir),
         out_dir=out_dir,

@@ -25,7 +25,7 @@ import jax  # noqa: E402
 
 from dss_tpu.models import UnidirectionalVoiceActivityDetector  # noqa: E402
 from dss_tpu.ops.ringbuffer import VoiceActivityDetectionSmoothing  # noqa: E402
-from dss_tpu.train import SequentialSpeechTrials, StoreBestModel  # noqa: E402
+from dss_tpu.train import SequentialSpeechTrials, StoreBestModel, padded_batches  # noqa: E402
 from dss_tpu.train.trainer_vad import VadTrainer  # noqa: E402
 from dss_tpu.utils import LeaveOneDayOut, SelectElectrodesOverSpeechAreas  # noqa: E402
 
@@ -153,15 +153,28 @@ def main(cfg: TrainingConfiguration) -> None:
     rng = np.random.default_rng(cfg.seed)
     for epoch in range(start_epoch, cfg.nb_epochs):
         train_loss = []
-        order = rng.permutation(len(tr_dataset))
-        for idx in order:
-            x, y = tr_dataset[int(idx)]
-            xp, yp, m = trainer.pad_trial(x, y)
-            key, dk = jax.random.split(key)
-            params, opt_state, loss = trainer.tbptt_trial(
-                params, opt_state, xp, yp, m, dk)
-            train_loss.append(float(loss))
-            update_steps_counter += xp.shape[1] // cfg.truncated_sequence_length
+        if cfg.batch_size > 1:
+            # TPU-first: data-parallel trials in padded, masked batches.
+            for xp, yp, m in padded_batches(
+                    tr_dataset, cfg.batch_size, rng=rng,
+                    length_multiple=cfg.truncated_sequence_length):
+                key, dk = jax.random.split(key)
+                params, opt_state, loss = trainer.tbptt_trial(
+                    params, opt_state, xp, yp, m, dk)
+                train_loss.append(float(loss))
+                update_steps_counter += \
+                    xp.shape[1] // cfg.truncated_sequence_length
+        else:
+            order = rng.permutation(len(tr_dataset))
+            for idx in order:
+                x, y = tr_dataset[int(idx)]
+                xp, yp, m = trainer.pad_trial(x, y)
+                key, dk = jax.random.split(key)
+                params, opt_state, loss = trainer.tbptt_trial(
+                    params, opt_state, xp, yp, m, dk)
+                train_loss.append(float(loss))
+                update_steps_counter += \
+                    xp.shape[1] // cfg.truncated_sequence_length
 
         valid_loss = 0.0
         correct = 0.0
@@ -222,6 +235,9 @@ if __name__ == "__main__":
     parser.add_argument("--epochs", default="8", help="Number of training epochs.")
     parser.add_argument("--resume", action="store_true",
                         help="Resume from out_dir/train_state.pkl if present.")
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="Trials per update (padded+masked data "
+                             "parallelism; reference recipe uses 1).")
     args = parser.parse_args()
     out_dir = Path(args.out_dir)
 
@@ -229,7 +245,7 @@ if __name__ == "__main__":
         nb_hidden_units=150,
         nb_layer=2,
         nb_epochs=int(args.epochs),
-        batch_size=1,
+        batch_size=int(getattr(args, "batch_size", 1)),
         num_workers=0,
         truncated_sequence_length=50,
         speech_corpus_root=Path(args.corpus_dir),

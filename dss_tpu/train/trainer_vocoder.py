@@ -41,7 +41,8 @@ def prepare_utterance(audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     if np.issubdtype(audio.dtype, np.integer):
         audio = audio.astype(np.float32) / 32768.0
     enc = LPCFeatureEncoder()
-    feats = enc.compute_LPC_features((audio * 32768).astype(np.int16))
+    pcm = np.clip(np.round(audio * 32767.0), -32768, 32767).astype(np.int16)
+    feats = enc.compute_LPC_features(pcm)
     n = len(feats) * FRAME_SIZE
     sig = audio[:n].astype(np.float32)
     shifted = np.concatenate([[0.0], sig[:-1]]).astype(np.float32)

@@ -164,3 +164,18 @@ def test_baseline_offline_app(corpus, tmp_path):
     stats = np.load(session / "normalization.npy")
     assert stats.shape == (2, 128)
     assert np.all(stats[1] > 0)  # stds positive
+
+
+def test_train_vad_app_batched(corpus, tmp_path):
+    """Batched (padded+masked) training path produces a usable checkpoint."""
+    base, out_dir = corpus
+    import train_unidirectional_vad as app
+
+    cfg = app.TrainingConfiguration(
+        nb_hidden_units=16, nb_layer=1, nb_epochs=1, batch_size=2,
+        num_workers=0, truncated_sequence_length=50,
+        speech_corpus_root=out_dir, out_dir=tmp_path,
+        test_day="2022_11_04", valid_day="2022_11_03",
+    )
+    app.main(cfg)
+    assert (tmp_path / "best_model.pth").exists()
