@@ -117,3 +117,16 @@ def test_sharded_batched_vocoder():
     # trajectory in lockstep; require that rather than bitwise equality.
     agreement = float((np.abs(got - want) < 1e-5).mean())
     assert agreement > 0.6, f"sharded trajectory agreement {agreement:.2f}"
+
+
+def test_sharded_vad_train_step():
+    from dss_tpu.parallel import sharded_vad_train_step
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    B, T = 8, 100
+    x = rng.normal(size=(B, T, 16)).astype(np.float32)
+    y = (rng.random((B, T)) > 0.5).astype(np.float32)
+    mask = np.ones((B, T), np.float32)
+    loss = sharded_vad_train_step(mesh, x, y, mask, hidden=8)
+    assert np.isfinite(float(loss))
