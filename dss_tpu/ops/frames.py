@@ -41,21 +41,43 @@ def window_starts(nb_samples: int, fs: int, window_length: float, window_shift: 
     return np.round(np.arange(n) * window_shift * fs).astype(np.int32)
 
 
+def _pallas_eligible(starts: np.ndarray, length: int) -> bool:
+    """The fused kernel needs uniform starts from 0 whose hop divides the
+    window length (true for the canonical 50 ms / 10 ms @ 1 kHz config)."""
+    if len(starts) == 0 or starts[0] != 0:
+        return False
+    if len(starts) == 1:
+        return True
+    hop = int(starts[1] - starts[0])
+    return hop > 0 and length % hop == 0 and bool(
+        np.all(np.diff(starts) == hop)
+    )
+
+
 @partial(jax.jit, static_argnames=("fs", "window_length", "window_shift", "use_pallas"))
 def log_power_frames(
     data: jnp.ndarray,
     fs: int,
     window_length: float = 0.05,
     window_shift: float = 0.01,
-    use_pallas: bool = False,
+    use_pallas=None,
 ) -> jnp.ndarray:
     """Log broadband power per window and channel: log(mean(x^2) + 0.01).
 
     data: [T, C] -> [num_windows, C].
+
+    use_pallas=None auto-selects the fused Pallas kernel on accelerator
+    backends when the window geometry allows (it is ~20x faster than the
+    XLA gather formulation on long trials); pass False to force the gather
+    path (e.g. CPU tests without the interpreter flag).
     """
     T = data.shape[0]
     starts = window_starts(T, fs, window_length, window_shift)
     length = int(np.round(window_length * fs))
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() != "cpu"
+                      and _pallas_eligible(starts, length))
 
     if use_pallas:
         from .pallas.log_power import log_power_pallas

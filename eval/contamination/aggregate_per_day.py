@@ -33,8 +33,19 @@ CONTAMINATED_CHANNELS = (46,)
 
 
 def vad_timings(vad_labels: np.ndarray) -> np.ndarray:
-    """(start, stop) second pairs of detected speech from VAD labels."""
+    """(start, stop) second pairs of detected speech from VAD labels.
+
+    Handles streams that end voiced (odd transition count) by closing the
+    final span at the end of the recording — a latent crash in the
+    reference's formulation (aggregate_per_day.py:60-66) that only real
+    data's trailing silence masked.
+    """
+    vad_labels = np.asarray(vad_labels).astype(bool)
     diff = (np.flatnonzero(vad_labels[:-1] != vad_labels[1:]) + 1).astype(np.float32)
+    if vad_labels[0]:
+        diff = np.concatenate([[0.0], diff])
+    if len(diff) % 2 == 1:
+        diff = np.concatenate([diff, [float(len(vad_labels))]])
     diff[1::2] -= 1
     diff *= 0.01
     timings = np.zeros((len(diff) // 2, 2), dtype=np.float32)

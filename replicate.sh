@@ -83,12 +83,13 @@ fi
 # -------------------------------------------------------------------------
 # STAGE 6: RENDER POWER SPECTRAL ANALYSIS PLOT
 # -------------------------------------------------------------------------
+FIG_DAY=${FIG_DAY:-2022_09_22}
 if [ ${stage} -le 6 ] && [ ${stop_stage} -ge 6 ]; then
     echo "Stage 6: Generate supplementary figure 2"
     mkdir -p $TEMP_DIR/analysis
     python eval/suppl_fig_2.py                             \
-      $DATA_DIR/2022_09_22/KeywordReading_Overt_R01.mat    \
-      $NORM_DIR/2022_09_22/SyllableRepetition_Overt.mat    \
+      $DATA_DIR/$FIG_DAY/KeywordReading_Overt_R01.mat      \
+      $NORM_DIR/$FIG_DAY/SyllableRepetition_Overt.mat      \
       --out $TEMP_DIR/analysis
 fi
 

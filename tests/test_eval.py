@@ -159,3 +159,18 @@ def test_suppl_fig_2(tmp_path, rng):
     sf2.gen_power_spectral_analysis_figure(
         mat_file, cal_file, out_dir=tmp_path / "out")
     assert (tmp_path / "out" / "suppl_fig_2.png").exists()
+
+
+def test_vad_timings_edge_cases():
+    from aggregate_per_day import vad_timings
+
+    # Ends voiced: final span closes at the recording end.
+    labels = np.array([0, 0, 1, 1], dtype=bool)
+    t = vad_timings(labels)
+    assert t.shape == (1, 2)
+    np.testing.assert_allclose(t[0], [0.02, 0.03])
+
+    # Starts voiced.
+    labels = np.array([1, 1, 0, 0], dtype=bool)
+    t = vad_timings(labels)
+    np.testing.assert_allclose(t[0], [0.0, 0.01])
