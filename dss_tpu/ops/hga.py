@@ -127,10 +127,22 @@ class HighGammaExtractor:
                 jnp.asarray(self.sos, self.dtype), data, self.zi
             )
 
-        block = self.framebuffer.insert(np.asarray(filtered))
+        if self.framebuffer.first_frame and \
+                data.shape[0] >= self.framebuffer.frame_length_in_samples:
+            # Warm-start case 1: the framed block IS the filtered signal —
+            # keep everything on device (the host round trip through the
+            # framer dominates long-trial extraction otherwise).
+            self.framebuffer.first_frame = False
+            self.framebuffer.remainder = np.asarray(
+                filtered[-self.framebuffer.overlap:, :]
+            )
+            block = filtered
+        else:
+            block = jnp.asarray(
+                self.framebuffer.insert(np.asarray(filtered)), self.dtype
+            )
         features = log_power_frames(
-            jnp.asarray(block, self.dtype), self.fs, self.window_length,
-            self.window_shift,
+            block, self.fs, self.window_length, self.window_shift,
         )
 
         if self.post_transform is not None:
