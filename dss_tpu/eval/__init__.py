@@ -8,6 +8,13 @@ from .contamination import (
     lagged_correlation_measure,
     surrogate_measures,
 )
+from .quality import (
+    QualityReport,
+    band_level_snr,
+    cepstral_distance,
+    score,
+    score_roundtrip,
+)
 
 __all__ = [
     "analyze_day",
@@ -15,4 +22,9 @@ __all__ = [
     "detect_artifacts",
     "lagged_correlation_measure",
     "surrogate_measures",
+    "QualityReport",
+    "band_level_snr",
+    "cepstral_distance",
+    "score",
+    "score_roundtrip",
 ]
