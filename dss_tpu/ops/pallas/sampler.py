@@ -60,10 +60,99 @@ def _one_hot(idx_col, levels, dtype=jnp.float32):
     return (lanes == idx_col).astype(dtype)
 
 
+def _gather_row(ref, idx):
+    """Dynamic row gather from a VMEM table ref [R, N] -> [1, N] f32.
+
+    Mosaic requires dynamic sublane offsets to be provably 8-aligned, so
+    the aligned 8-row block containing ``idx`` is loaded and the row
+    selected with a sublane mask (8 rows ~ 18 KB: still ~60x less traffic
+    than the one-hot matmul this replaces).
+    """
+    base = (idx // 8) * 8
+    block = ref[pl.ds(base, 8), :]  # [8, N]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+           == (idx - base)).astype(block.dtype)
+    # [1,8] x [8,N] one-hot dot: the row select rides the MXU instead of a
+    # sublane reduction on the VPU.
+    return jnp.dot(sel, block, preferred_element_type=jnp.float32)
+
+
 def _gru_pre(gx, h, wh, bh, units):
     """GRU update from a precomputed input projection gx = x @ wx + bx."""
     gh = jnp.dot(h.astype(wh.dtype), wh,
                  preferred_element_type=jnp.float32) + bh
+    r = jax.nn.sigmoid(gx[:, :units] + gh[:, :units])
+    z = jax.nn.sigmoid(gx[:, units:2 * units] + gh[:, units:2 * units])
+    n = jnp.tanh(gx[:, 2 * units:] + r * gh[:, 2 * units:])
+    return (1.0 - z) * n + z * h
+
+
+ROW_BLOCK = 16    # sparse tile rows (h-dim); LPCNet prunes rows in 16s
+COL_BLOCK = 128   # sparse tile cols (gate-dim); one TPU lane tile
+
+
+def tile_sparse_pattern(mask: np.ndarray):
+    """Static keep-pattern of a [H, 3H] recurrent mask at TPU tile
+    granularity ([ROW_BLOCK x COL_BLOCK] tiles).
+
+    Returns (pattern, kept_fraction): ``pattern[j]`` is the tuple of kept
+    row-block indices for output column group ``j``; a tile is kept iff any
+    of its entries is nonzero.  Returns (None, 1.0) when nothing is pruned
+    at tile granularity (sparse compute would only add overhead).
+    """
+    mask = np.asarray(mask)
+    H, G = mask.shape
+    if H % ROW_BLOCK != 0 or G % COL_BLOCK != 0:
+        return None, 1.0  # not tile-divisible; use the dense path
+    tiles = mask.reshape(H // ROW_BLOCK, ROW_BLOCK,
+                         G // COL_BLOCK, COL_BLOCK)
+    keep = np.any(tiles != 0, axis=(1, 3))  # [rows, cols]
+    kept = float(keep.mean())
+    if kept >= 1.0:
+        return None, 1.0
+    pattern = tuple(
+        tuple(int(i) for i in np.flatnonzero(keep[:, j]))
+        for j in range(keep.shape[1])
+    )
+    return pattern, kept
+
+
+def _compact_sparse_wh(wh_masked: jnp.ndarray, pattern) -> jnp.ndarray:
+    """Concatenate kept [ROW_BLOCK, COL_BLOCK] tiles into one [R, COL_BLOCK]
+    slab (groups in order, each group's kept row blocks in order)."""
+    slabs = []
+    for j, rows in enumerate(pattern):
+        for i in rows:
+            slabs.append(wh_masked[i * ROW_BLOCK:(i + 1) * ROW_BLOCK,
+                                   j * COL_BLOCK:(j + 1) * COL_BLOCK])
+    if not slabs:  # fully pruned (degenerate); keep a zero row for shape
+        return jnp.zeros((ROW_BLOCK, COL_BLOCK), wh_masked.dtype)
+    return jnp.concatenate(slabs, axis=0)
+
+
+def _gru_pre_sparse(gx, h, wh_sp_ref, bh, units, pattern, batch):
+    """GRU update with the recurrent matmul restricted to kept tiles.
+
+    Streams only ``kept_fraction`` of the recurrent weights from VMEM: for
+    each 128-wide gate column group, the contributing 16-row blocks of h
+    are gathered (static lane slices) and hit one [B, 16k] x [16k, 128]
+    matmul against the compacted slab.
+    """
+    wdt = wh_sp_ref.dtype
+    outs = []
+    off = 0
+    for j, rows in enumerate(pattern):
+        if not rows:
+            outs.append(jnp.zeros((batch, COL_BLOCK), jnp.float32))
+            continue
+        hg = jnp.concatenate(
+            [h[:, i * ROW_BLOCK:(i + 1) * ROW_BLOCK] for i in rows], axis=1
+        ).astype(wdt)
+        k = len(rows) * ROW_BLOCK
+        outs.append(jnp.dot(hg, wh_sp_ref[pl.ds(off, k), :],
+                            preferred_element_type=jnp.float32))
+        off += k
+    gh = jnp.concatenate(outs, axis=1) + bh
     r = jax.nn.sigmoid(gx[:, :units] + gh[:, :units])
     z = jax.nn.sigmoid(gx[:, units:2 * units] + gh[:, units:2 * units])
     n = jnp.tanh(gx[:, 2 * units:] + r * gh[:, 2 * units:])
@@ -83,11 +172,16 @@ def _gru(x, h, wx, wh, bx, bh, units):
 
 def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                  cond_dim: int, embed_dim: int, batch: int,
-                 stochastic: bool = True):
+                 stochastic: bool = True, sparse_pattern=None,
+                 fuse_embed: bool = False):
     def kernel(
         # frame-rate inputs (one frame per grid step)
         cond_ref, lpc_ref, temp_ref, seed_ref,
-        # weights (full arrays, VMEM-resident across the grid)
+        # weights (full arrays, VMEM-resident across the grid).  With
+        # fuse_embed the emb_* refs hold the PRE-FUSED tables
+        # emb_X @ gru_a_wx[embed-rows] ([256, 3*gru_a] each) and the gx_a
+        # contribution is three dynamic row gathers instead of one-hot
+        # matmuls — nothing of gru_a_wx's embedding rows streams per sample.
         emb_sig_ref, emb_pred_ref, emb_exc_ref,
         gru_a_wx_ref, gru_a_wh_ref, gru_a_bx_ref, gru_a_bh_ref,
         gru_b_wx_ref, gru_b_wh_ref, gru_b_bx_ref, gru_b_bh_ref,
@@ -133,23 +227,47 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
             pred = -jnp.sum(sig_mem * lpc, axis=1, keepdims=True)  # [B,1]
 
             wdt = emb_sig_ref.dtype
-            oh_sig = _one_hot(_mulaw_encode(sig_mem[:, :1]), MULAW_LEVELS, wdt)
-            oh_pred = _one_hot(_mulaw_encode(pred), MULAW_LEVELS, wdt)
-            oh_exc = _one_hot(exc_s[...], MULAW_LEVELS, wdt)
+            sig_idx = _mulaw_encode(sig_mem[:, :1])  # [B,1] int32
+            pred_idx = _mulaw_encode(pred)           # [B,1]
 
-            e_sig = jnp.dot(oh_sig, emb_sig_ref[...],
-                            preferred_element_type=jnp.float32)
-            e_pred = jnp.dot(oh_pred, emb_pred_ref[...],
-                             preferred_element_type=jnp.float32)
-            e_exc = jnp.dot(oh_exc, emb_exc_ref[...],
-                            preferred_element_type=jnp.float32)
+            if fuse_embed:
+                # Row gathers from the fused [256, 3*gru_a] tables: streams
+                # 3 rows/sample instead of the three embedding tables plus
+                # gru_a_wx's embedding rows (the per-sample bandwidth hog
+                # at small batch).
+                rows = []
+                for b in range(batch):
+                    rows.append(
+                        _gather_row(emb_sig_ref, sig_idx[b, 0])
+                        + _gather_row(emb_pred_ref, pred_idx[b, 0])
+                        + _gather_row(emb_exc_ref, exc_s[b, 0])
+                    )
+                gx_emb = rows[0] if batch == 1 else \
+                    jnp.concatenate(rows, axis=0)
+                gx_a = gx_emb + gx_a_cond
+            else:
+                oh_sig = _one_hot(sig_idx, MULAW_LEVELS, wdt)
+                oh_pred = _one_hot(pred_idx, MULAW_LEVELS, wdt)
+                oh_exc = _one_hot(exc_s[...], MULAW_LEVELS, wdt)
 
-            x_emb = jnp.concatenate([e_sig, e_pred, e_exc], axis=1)
-            gx_a = jnp.dot(x_emb.astype(gru_a_wx_ref.dtype),
-                           gru_a_wx_ref[pl.ds(0, emb_rows), :],
-                           preferred_element_type=jnp.float32) + gx_a_cond
-            h_a = _gru_pre(gx_a, h_a_s[...], gru_a_wh_ref[...],
-                           gru_a_bh_ref[...], gru_a)
+                e_sig = jnp.dot(oh_sig, emb_sig_ref[...],
+                                preferred_element_type=jnp.float32)
+                e_pred = jnp.dot(oh_pred, emb_pred_ref[...],
+                                 preferred_element_type=jnp.float32)
+                e_exc = jnp.dot(oh_exc, emb_exc_ref[...],
+                                preferred_element_type=jnp.float32)
+
+                x_emb = jnp.concatenate([e_sig, e_pred, e_exc], axis=1)
+                gx_a = jnp.dot(x_emb.astype(gru_a_wx_ref.dtype),
+                               gru_a_wx_ref[pl.ds(0, emb_rows), :],
+                               preferred_element_type=jnp.float32) + gx_a_cond
+            if sparse_pattern is not None:
+                h_a = _gru_pre_sparse(gx_a, h_a_s[...], gru_a_wh_ref,
+                                      gru_a_bh_ref[...], gru_a,
+                                      sparse_pattern, batch)
+            else:
+                h_a = _gru_pre(gx_a, h_a_s[...], gru_a_wh_ref[...],
+                               gru_a_bh_ref[...], gru_a)
             h_a_s[...] = h_a
 
             gx_b = jnp.dot(h_a.astype(gru_b_wx_ref.dtype),
@@ -159,14 +277,18 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                            gru_b_bh_ref[...], gru_b)
             h_b_s[...] = h_b
 
+            # The dual output heads ride ONE MXU dispatch: out1_w_ref holds
+            # [gb, 2*256] = concat(out1_w, out2_w) and out1_g_ref the
+            # matching [1, 2*256] gains; the kernel is latency-bound on its
+            # serial op chain, so fewer dispatches beat smaller ones.
             h_b_w = h_b.astype(out1_w_ref.dtype)
-            logits = (jnp.tanh(jnp.dot(h_b_w, out1_w_ref[...],
-                                       preferred_element_type=jnp.float32))
-                      * out1_g_ref[...]
-                      + jnp.tanh(jnp.dot(h_b_w, out2_w_ref[...],
-                                         preferred_element_type=jnp.float32))
-                      * out2_g_ref[...]
+            t12 = jnp.tanh(jnp.dot(h_b_w, out1_w_ref[...],
+                                   preferred_element_type=jnp.float32)) \
+                * out1_g_ref[...]
+            logits = (t12[:, :MULAW_LEVELS] + t12[:, MULAW_LEVELS:]
                       + out_b_ref[...])
+            # out2_w_ref / out2_g_ref are passed but unused: both heads
+            # live in the folded out1_* arrays.
 
             if stochastic:
                 bits = pltpu.prng_random_bits((batch, MULAW_LEVELS))
@@ -208,10 +330,12 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
 
 
 @partial(jax.jit, static_argnames=("frame_size", "stochastic",
-                                   "weight_dtype"))
+                                   "weight_dtype", "sparse_pattern",
+                                   "fuse_embed"))
 def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
                   exc0, frame_size: int, stochastic: bool = True,
-                  weight_dtype=jnp.bfloat16):
+                  weight_dtype=jnp.bfloat16, sparse_pattern=None,
+                  fuse_embed: bool = False):
     """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T] int32."""
     T, B, cd = cond.shape
     lpc_order = lpc.shape[-1]
@@ -220,7 +344,9 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
     embed_dim = weights["emb_sig"].shape[-1]
 
     kernel = _make_kernel(frame_size, lpc_order, gru_a, gru_b, cd,
-                          embed_dim, B, stochastic=stochastic)
+                          embed_dim, B, stochastic=stochastic,
+                          sparse_pattern=sparse_pattern,
+                          fuse_embed=fuse_embed)
 
     def frame_spec(shape):
         return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
@@ -241,11 +367,33 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
     # tiny and stay f32.
     matrix_keys = {"emb_sig", "emb_pred", "emb_exc", "gru_a_wx", "gru_a_wh",
                    "gru_b_wx", "gru_b_wh", "fc_out1_w", "fc_out2_w"}
+    fused = {
+        # Dual output heads fold into one MXU dispatch (see kernel).
+        "fc_out1_w": jnp.concatenate(
+            [jnp.asarray(weights["fc_out1_w"], jnp.float32),
+             jnp.asarray(weights["fc_out2_w"], jnp.float32)], axis=1),
+        "fc_out1_g": jnp.concatenate(
+            [jnp.asarray(weights["fc_out1_g"], jnp.float32),
+             jnp.asarray(weights["fc_out2_g"], jnp.float32)], axis=-1),
+    }
+    if fuse_embed:
+        # Pre-fuse each embedding table with its gru_a_wx row band:
+        # (one_hot @ emb) @ wx_rows == one_hot @ (emb @ wx_rows), so a
+        # single row gather of the fused [256, 3*gru_a] table replaces the
+        # embedding matmuls AND the wx embedding-row matmul per sample.
+        wx = jnp.asarray(weights["gru_a_wx"], jnp.float32)
+        for n, key in enumerate(("emb_sig", "emb_pred", "emb_exc")):
+            emb = jnp.asarray(weights[key], jnp.float32)
+            fused[key] = emb @ wx[n * embed_dim:(n + 1) * embed_dim, :]
+
     weight_vals = []
     for k in weight_order:
-        w = weights[k]
+        w = fused.get(k, weights[k])
         if k == "gru_a_wh":
             w = w * weights["gru_a_mask"]
+            if sparse_pattern is not None:
+                # Only the kept tiles ship to (and stream from) VMEM.
+                w = _compact_sparse_wh(w, sparse_pattern)
         if w.ndim == 1:
             w = w[None, :]  # biases as [1, n] rows for clean broadcasting
         dtype = weight_dtype if k in matrix_keys else jnp.float32
@@ -296,12 +444,16 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
 
 def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
                           temperature, seeds, frame_size: int = 160,
-                          stochastic: bool = True, weight_dtype=None):
+                          stochastic: bool = True, weight_dtype=None,
+                          sparse_pattern=None, fuse_embed=None):
     """Synthesize T frames with the Pallas sampler.
 
     carry: (h_a [B,ga], h_b [B,gb], sig_mem [B,16], exc_idx [B]).
     cond_all [B,T,cd]; lpc_all [B,T,16]; temperature [B,T,1] (negative for
     greedy argmax); seeds [T] int32.
+    sparse_pattern: static tile keep-pattern from ``tile_sparse_pattern``
+    (computed OUTSIDE jit on the concrete gru_a_mask) — restricts the GRU-A
+    recurrent matmul to kept [16, 128] tiles.
     Returns ((h_a, h_b, sig_mem, exc_idx), sig [B, T*frame_size]).
     """
     del model
@@ -310,6 +462,10 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
         # Small batches are weight-streaming-bound (bf16 wins ~40%); large
         # batches amortize the streaming and f32 avoids the cast overhead.
         weight_dtype = jnp.bfloat16 if cond_all.shape[0] < 32 else jnp.float32
+    if fuse_embed is None:
+        # Row gathers cost 3 dynamic slices per stream per sample; they beat
+        # streaming the embedding weights only while the batch is small.
+        fuse_embed = cond_all.shape[0] <= 4
     cond = jnp.moveaxis(jnp.asarray(cond_all, jnp.float32), 1, 0)
     lpc = jnp.moveaxis(jnp.asarray(lpc_all, jnp.float32), 1, 0)
     temp = jnp.moveaxis(jnp.asarray(temperature, jnp.float32), 1, 0)
@@ -319,7 +475,8 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
         jnp.asarray(sig_mem, jnp.float32),
         jnp.asarray(exc_idx, jnp.int32).reshape(-1, 1),
         frame_size=frame_size, stochastic=stochastic,
-        weight_dtype=weight_dtype,
+        weight_dtype=weight_dtype, sparse_pattern=sparse_pattern,
+        fuse_embed=bool(fuse_embed),
     )
     T, F, B = sig.shape
     sig = jnp.moveaxis(sig.reshape(T * F, B), 0, 1)

@@ -36,6 +36,17 @@ def _load_params(weights):
     return weights
 
 
+def _sparse_pattern_of(params, use_pallas: bool):
+    """Static GRU-A tile keep-pattern when the trained mask is tile-sparse
+    (Pallas path only; the pattern must be derived outside jit)."""
+    if not use_pallas or params is None or "gru_a_mask" not in params:
+        return None
+    from ..ops.pallas.sampler import tile_sparse_pattern
+
+    pattern, _kept = tile_sparse_pattern(np.asarray(params["gru_a_mask"]))
+    return pattern
+
+
 class LPCNet:
     """Single-stream vocoder with the reference's frame API."""
 
@@ -58,6 +69,7 @@ class LPCNet:
                 import jax
 
                 self._params = self._model.init(jax.random.PRNGKey(0))
+            self._sparse = _sparse_pattern_of(self._params, use_pallas)
             self.reset_decoder()
 
     def reset_decoder(self) -> None:
@@ -73,7 +85,7 @@ class LPCNet:
         pcm, self._state = net_synthesize_frames(
             self._model, self._params, self._state,
             jnp.asarray(features, jnp.float32).reshape(1, 1, NB_FEATURES),
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, sparse_pattern=self._sparse,
         )
         return np.asarray(
             np.clip(np.asarray(pcm[0]) * 32767.0, -32768, 32767),
@@ -87,7 +99,7 @@ class LPCNet:
         pcm, self._state = net_synthesize_frames(
             self._model, self._params, self._state,
             jnp.asarray(features, jnp.float32)[None],
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, sparse_pattern=self._sparse,
         )
         return np.asarray(
             np.clip(np.asarray(pcm[0]) * 32767.0, -32768, 32767),
@@ -119,6 +131,7 @@ class BatchedLPCNet:
                 import jax
 
                 self._params = self._model.init(jax.random.PRNGKey(0))
+            self._sparse = _sparse_pattern_of(self._params, use_pallas)
             self._state = net_vocoder_init(self._model, batch=batch, seed=seed)
 
     def reset(self) -> None:
@@ -139,7 +152,7 @@ class BatchedLPCNet:
             ])
         pcm, self._state = net_synthesize_frames(
             self._model, self._params, self._state, jnp.asarray(features),
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, sparse_pattern=self._sparse,
         )
         return np.asarray(
             np.clip(np.asarray(pcm) * 32767.0, -32768, 32767), dtype=np.int16

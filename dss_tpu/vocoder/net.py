@@ -190,11 +190,16 @@ def net_vocoder_init(model: LPCNetModel, batch: int, seed: int = 0
     )
 
 
-@partial(jax.jit, static_argnames=("model", "use_pallas"))
+@partial(jax.jit, static_argnames=("model", "use_pallas", "sparse_pattern"))
 def net_synthesize_frames(model: LPCNetModel, params,
                           state: NetVocoderState, features: jnp.ndarray,
-                          use_pallas: bool = False):
-    """features [B, T, 20] -> (pcm [B, T*160] in [-1,1], new state)."""
+                          use_pallas: bool = False, sparse_pattern=None):
+    """features [B, T, 20] -> (pcm [B, T*160] in [-1,1], new state).
+
+    sparse_pattern: static GRU-A tile keep-pattern (see
+    ops/pallas/sampler.py ``tile_sparse_pattern``); must be derived from
+    the concrete mask OUTSIDE this jitted function.  Pallas path only.
+    """
     B, T, _ = features.shape
 
     feats_ctx = jnp.concatenate([state.feat_mem, features], axis=1)
@@ -216,6 +221,7 @@ def net_synthesize_frames(model: LPCNetModel, params,
             model, params,
             (state.h_a, state.h_b, state.sig_mem, state.exc_idx),
             cond_all, lpc_all, temperature, seeds, frame_size=FRAME_SIZE,
+            sparse_pattern=sparse_pattern,
         )
     else:
         gumbel = jax.random.gumbel(gkey, (T, FRAME_SIZE, B, MULAW_LEVELS),

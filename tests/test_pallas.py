@@ -115,3 +115,65 @@ def test_sampler_stochastic_is_plausible(rng):
     assert sig.shape == (B, T * F)
     assert np.all(np.abs(sig) <= 1.0)
     assert np.std(sig) > 0.0
+
+
+def test_sampler_sparse_matches_dense(rng):
+    """Tile-sparse GRU-A compute (static keep-pattern + compacted slab)
+    must reproduce the dense masked path sample-for-sample."""
+    from dss_tpu.ops.pallas.sampler import (
+        sampler_frames_pallas,
+        tile_sparse_pattern,
+    )
+    from dss_tpu.vocoder.net import LPCNetModel
+
+    # gru_a=128 -> wh [128, 384]: 8 row blocks x 3 col groups of 128.
+    model = LPCNetModel(gru_a_units=128, gru_b_units=8, cond_dim=8,
+                        embed_dim=8)
+    params = model.init(jax.random.PRNGKey(1))
+
+    # Prune ~half the [16, 128] tiles.
+    keep = rng.random((8, 3)) < 0.5
+    keep[0, :] = True  # keep at least one block per group
+    mask = np.repeat(np.repeat(keep.astype(np.float32), 16, axis=0),
+                     128, axis=1)
+    params = dict(params, gru_a_mask=jnp.asarray(mask))
+
+    pattern, kept = tile_sparse_pattern(mask)
+    assert pattern is not None and 0.0 < kept < 1.0
+    assert all(len(g) >= 1 for g in pattern)
+
+    B, T, F = 2, 2, 8
+    cond = jnp.asarray(rng.normal(size=(B, T, 8)), jnp.float32) * 0.5
+    lpc = jnp.asarray(rng.normal(size=(B, T, 16)), jnp.float32) * 0.05
+    temp = -jnp.ones((B, T, 1), jnp.float32)
+    carry0 = (jnp.zeros((B, 128)), jnp.zeros((B, 8)), jnp.zeros((B, 16)),
+              jnp.full((B,), 128, jnp.int32))
+    kw = dict(seeds=jnp.arange(T, dtype=jnp.int32), frame_size=F,
+              stochastic=False, weight_dtype=jnp.float32)
+
+    dense_carry, dense = sampler_frames_pallas(
+        model, params, carry0, cond, lpc, temp, **kw)
+    sparse_carry, sparse = sampler_frames_pallas(
+        model, params, carry0, cond, lpc, temp, sparse_pattern=pattern, **kw)
+
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sparse_carry[0]),
+                               np.asarray(dense_carry[0]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sparse_carry[3]),
+                                  np.asarray(dense_carry[3]))
+
+
+def test_tile_sparse_pattern_edges():
+    from dss_tpu.ops.pallas.sampler import tile_sparse_pattern
+
+    # All-ones mask -> dense (no pattern).
+    assert tile_sparse_pattern(np.ones((128, 384))) == (None, 1.0)
+    # Non-tile-divisible mask -> dense.
+    assert tile_sparse_pattern(np.ones((16, 48))) == (None, 1.0)
+    # One zero tile is detected.
+    m = np.ones((128, 384), np.float32)
+    m[:16, :128] = 0.0
+    pattern, kept = tile_sparse_pattern(m)
+    assert pattern is not None and abs(kept - 23 / 24) < 1e-6
+    assert 0 not in pattern[0] and 0 in pattern[1]
