@@ -153,30 +153,54 @@ class HighGammaActivity(Unit):
         )
         self._state = self._extractor.init_state()
         self._first = True
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._executor = ThreadPoolExecutor(max_workers=1)
         if s.package_size is not None and s.raw_channels is not None:
             # Warm up the packet program NOW so the first real packet isn't
             # stuck behind a multi-second XLA compile (packets would be
-            # dropped by the ingest's HWM=1 while compiling).
+            # dropped by the ingest's HWM=1 while compiling). Sync via a
+            # host transfer, not block_until_ready: the live path does a
+            # device->host read each packet and some remote backends only
+            # pay (and warm) the transfer channel on an actual read.
             dummy = jnp.zeros((s.package_size, s.raw_channels), jnp.float32)
             feats, _ = self._extractor.packet_step(
                 self._extractor.init_state(), dummy
             )
-            feats.block_until_ready()
+            np.asarray(feats)
+
+    def shutdown(self) -> None:
+        self._executor.shutdown(wait=True)
+
+    def _packet_features(self, data: np.ndarray) -> np.ndarray:
+        # Host-side f64->f32 cast: a device-side cast would compile on
+        # the first live packet (stream-time event-loop freeze).
+        feats, self._state = self._extractor.packet_step(
+            self._state, jnp.asarray(np.asarray(data, np.float32))
+        )
+        return np.asarray(feats)
 
     @subscriber(INPUT)
     @publisher(OUTPUT)
     async def process(self, msg: TimeSeriesMessage) -> AsyncGenerator:
+        import asyncio
+
         s = self.SETTINGS
         if s.package_size is not None and msg.data.shape[0] == s.package_size:
-            feats, self._state = self._extractor.packet_step(
-                self._state, jnp.asarray(msg.data, jnp.float32)
+            # Device dispatch + readback run OFF the event loop: a stalled
+            # device round trip (remote/tunneled backends can block for
+            # seconds) must never freeze packet ingest. One worker keeps
+            # the carried filter state strictly ordered.
+            feats = await asyncio.get_running_loop().run_in_executor(
+                self._executor, self._packet_features, msg.data
             )
-            feats = np.asarray(feats)
             if self._first:
                 feats = feats[self._extractor.warmup_frames(s.package_size):]
                 self._first = False
         else:
-            feats = self._extractor.extract_features(msg.data)
+            feats = await asyncio.get_running_loop().run_in_executor(
+                self._executor, self._extractor.extract_features, msg.data
+            )
         # float64 on the wire: downstream binary logs are .f64 by contract
         # (reference decode_online.py:135 log.hga.f64).
         feats = np.asarray(feats, np.float64)
@@ -322,25 +346,49 @@ class FilterSpeechSegments(Unit):
 
         import jax
 
-        self._infer = jax.jit(
-            lambda p, x, st: self._model.apply(p, x, st)
-        )
+        # argmax lives INSIDE the jit: a bare jnp.argmax on the host path
+        # would compile its own tiny program on the first live packet and
+        # freeze the event loop mid-stream (ingest drops packets meanwhile).
+        def _forward(p, x, st):
+            logits, st = self._model.apply(p, x, st)
+            return jnp.argmax(logits, axis=2), st
+
+        self._infer = jax.jit(_forward)
         # Warm both per-packet shapes (warm-start first packet emits fewer
         # frames than the steady state) so live packets never hit a compile.
+        # Sync via host transfer — the live path reads labels back each
+        # packet, and block_until_ready does not warm the transfer channel
+        # on some remote backends.
         for frames in (1, 4):
-            logits, _ = self._infer(
+            labels, _ = self._infer(
                 self._params,
                 jnp.zeros((1, frames, s.nb_features), jnp.float32),
                 self._model.create_new_initial_state(batch_size=1),
             )
-        jax.block_until_ready(logits)
+            np.asarray(labels)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._executor = ThreadPoolExecutor(max_workers=1)
+
+    def shutdown(self) -> None:
+        self._executor.shutdown(wait=True)
+
+    def _vad_labels(self, data: np.ndarray) -> np.ndarray:
+        # dtype conversion on the HOST: a device-side f64->f32 cast would
+        # compile a convert_element_type program on the first live packet.
+        x = jnp.asarray(np.asarray(data, np.float32)[None])
+        labels, self._state = self._infer(self._params, x, self._state)
+        return np.asarray(labels).ravel()
 
     @subscriber(INPUT)
     @publisher(OUTPUT)
     async def process(self, msg: ClosedLoopMessage) -> AsyncGenerator:
-        x = jnp.asarray(np.asarray(msg.data)[None], jnp.float32)
-        logits, self._state = self._infer(self._params, x, self._state)
-        predictions = np.asarray(jnp.argmax(logits, axis=2)).ravel()
+        import asyncio
+
+        # Device work off the event loop (see HighGammaActivity.process).
+        predictions = await asyncio.get_running_loop().run_in_executor(
+            self._executor, self._vad_labels, msg.data
+        )
 
         data, predictions = self._smoothing.insert(
             data=np.asarray(msg.data), speech_labels=predictions
@@ -437,22 +485,36 @@ class FusedFrontendVad(Unit):
         self._fe_state = extractor.init_state()
         self._vad_state = model.create_new_initial_state(batch_size=1)
 
-        # Warm up both shapes used live.
+        # Warm up both shapes used live; sync via host transfer (the live
+        # path reads back every packet — see HighGammaActivity).
         dummy = jnp.zeros((s.package_size, s.raw_channels), jnp.float32)
         out = packet_path(extractor.init_state(),
                           model.create_new_initial_state(batch_size=1), dummy)
-        jax.block_until_ready(out[2])
+        np.asarray(out[2])
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._executor = ThreadPoolExecutor(max_workers=1)
+
+    def shutdown(self) -> None:
+        self._executor.shutdown(wait=True)
+
+    def _step(self, data: np.ndarray):
+        self._fe_state, self._vad_state, feats, labels = self._packet_path(
+            self._fe_state, self._vad_state,
+            jnp.asarray(np.asarray(data, np.float32)),
+        )
+        return np.asarray(feats, np.float64), np.asarray(labels)
 
     @subscriber(INPUT)
     @publisher(FEATURES)
     @publisher(OUTPUT)
     async def process(self, msg: ClosedLoopMessage) -> AsyncGenerator:
-        self._fe_state, self._vad_state, feats, labels = self._packet_path(
-            self._fe_state, self._vad_state,
-            jnp.asarray(msg.data, jnp.float32),
+        import asyncio
+
+        # Device work off the event loop (see HighGammaActivity.process).
+        feats, labels = await asyncio.get_running_loop().run_in_executor(
+            self._executor, self._step, msg.data
         )
-        feats = np.asarray(feats, np.float64)
-        labels = np.asarray(labels)
         if self._first:
             k = self._extractor.warmup_frames(msg.data.shape[0])
             feats = feats[k:]
@@ -523,11 +585,19 @@ class RecurrentNeuralDecodingModel(Unit):
             jnp.zeros((1, 2 * mult, electrodes), jnp.float32),
             jnp.ones((1, 2 * mult), jnp.float32),
         )
-        pred.block_until_ready()
+        np.asarray(pred)  # host-transfer sync (warms the readback channel)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._executor = ThreadPoolExecutor(max_workers=1)
+
+    def shutdown(self) -> None:
+        self._executor.shutdown(wait=True)
 
     @subscriber(INPUT)
     @publisher(OUTPUT)
     async def decode(self, msg: TimeSeriesMessage) -> AsyncGenerator:
+        import asyncio
+
         data = np.asarray(msg.data, np.float32)
         T = len(data)
         mult = self.SETTINGS.length_multiple
@@ -536,8 +606,18 @@ class RecurrentNeuralDecodingModel(Unit):
         x[0, :T] = data
         mask = np.zeros((1, Tp), np.float32)
         mask[0, :T] = 1.0
-        pred, _ = self._infer(self._params, jnp.asarray(x), jnp.asarray(mask))
-        predictions = np.asarray(pred)[0, :T]
+
+        # Off the event loop: a previously unseen segment-length bucket
+        # compiles here (tens of seconds on a tunneled device) and must not
+        # freeze ingest. Single worker keeps segments ordered.
+        def run():
+            pred, _ = self._infer(self._params, jnp.asarray(x),
+                                  jnp.asarray(mask))
+            return np.asarray(pred)[0, :T]
+
+        predictions = await asyncio.get_running_loop().run_in_executor(
+            self._executor, run
+        )
         yield self.OUTPUT, replace(msg, data=predictions, fs=100)
 # endregion
 
@@ -557,17 +637,23 @@ class DelayedLPCNetVocoder(Unit):
     OUTPUT = OutputStream(TimeSeriesMessage)
 
     def initialize(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..vocoder import LPCNet
 
         s = self.SETTINGS or DelayedLPCNetVocoderSettings()
         self._lpcnet = LPCNet(backend=s.backend, weights=s.weights)
+        self._executor = ThreadPoolExecutor(max_workers=1)
 
     def shutdown(self) -> None:
+        self._executor.shutdown(wait=True)
         del self._lpcnet
 
     @subscriber(INPUT)
     @publisher(OUTPUT)
     async def synthesize(self, msg: TimeSeriesMessage) -> AsyncGenerator:
+        import asyncio
+
         features = np.asarray(msg.data, np.float32)
         # Bucket the frame count so segment lengths reuse compiled programs;
         # pad with repeats of the last frame and trim the emitted samples.
@@ -577,7 +663,12 @@ class DelayedLPCNetVocoder(Unit):
         if Tp != T:
             pad = np.repeat(features[-1:], Tp - T, axis=0)
             features = np.concatenate([features, pad], axis=0)
-        acoustic = self._lpcnet.synthesize_frames(features)[: T * 160]
+        # Off the event loop: first use of a new frame-count bucket compiles
+        # (slow on a tunneled device) and must not freeze packet ingest.
+        acoustic = await asyncio.get_running_loop().run_in_executor(
+            self._executor,
+            lambda: self._lpcnet.synthesize_frames(features)[: T * 160],
+        )
         yield self.OUTPUT, replace(msg, data=acoustic, fs=16000)
 # endregion
 

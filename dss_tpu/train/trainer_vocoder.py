@@ -156,12 +156,29 @@ class VocoderTrainer:
         params = dict(params, gru_a_wh=params["gru_a_wh"] * params["gru_a_mask"])
         return params, opt_state, loss
 
-    def sparsify(self, params, density: float, block=(16, 1)):
-        """Magnitude-prune GRU-A recurrent weights to ``density`` using
-        LPCNet-style block granularity; returns params with updated mask."""
+    def sparsify(self, params, density: float, block=None):
+        """Magnitude-prune GRU-A recurrent weights to ``density``; returns
+        params with updated mask.
+
+        Default block granularity is the Pallas sampler's [16, 128] compute
+        tile (ops/pallas/sampler.py ROW_BLOCK x COL_BLOCK) so that every
+        pruned block is a whole skippable tile: the sampler then streams and
+        computes only ``density`` of the recurrent weights.  The reference
+        LPCNet prunes 16x1 blocks (sized for ARM dot kernels); on TPU that
+        granularity leaves every [16, 128] tile partially occupied, which
+        zeroes weights without saving any bandwidth or FLOPs.  Pass
+        ``block=(16, 1)`` for reference-compatible masks (dense compute)."""
         w = np.asarray(params["gru_a_wh"])
-        bh, bw = block
         H, G = w.shape
+        if block is None:
+            from ..ops.pallas.sampler import COL_BLOCK, ROW_BLOCK
+
+            block = (ROW_BLOCK, COL_BLOCK)
+            if H % ROW_BLOCK or G % COL_BLOCK:
+                # Model too small for whole compute tiles — fall back to
+                # reference 16x1 granularity (dense compute, zeroed weights).
+                block = (min(16, H), 1)
+        bh, bw = block
         blocks = w.reshape(H // bh, bh, G // bw, bw)
         mags = np.abs(blocks).sum(axis=(1, 3))
         k = max(1, int(round(density * mags.size)))

@@ -70,3 +70,29 @@ def test_sparsify_density_and_zeroing(rng):
                                       jax.random.PRNGKey(2))
     w = np.asarray(params["gru_a_wh"])
     assert np.all(w[np.asarray(params["gru_a_mask"]) == 0] == 0)
+
+
+def test_sparsify_default_is_tile_sparse():
+    """Default pruning granularity must be the Pallas sampler's compute
+    tile so the sparse kernel path activates on trained masks."""
+    from dss_tpu.ops.pallas.sampler import tile_sparse_pattern
+
+    model = LPCNetModel()  # full-size: gru_a=384 -> wh [384, 1152]
+    trainer = VocoderTrainer(model)
+    params, _ = trainer.init(jax.random.PRNGKey(0))
+    params = trainer.sparsify(params, density=0.2)
+    mask = np.asarray(params["gru_a_mask"])
+    pattern, kept = tile_sparse_pattern(mask)
+    assert pattern is not None
+    assert abs(kept - 0.2) < 0.05
+    assert abs(mask.mean() - 0.2) < 0.05
+
+
+def test_sparsify_tiny_model_falls_back():
+    """Non-tile-divisible models prune at reference 16x1 granularity."""
+    model = _tiny_model()  # wh [32, 96]: not COL_BLOCK-divisible
+    trainer = VocoderTrainer(model)
+    params, _ = trainer.init(jax.random.PRNGKey(0))
+    params = trainer.sparsify(params, density=0.25)
+    mask = np.asarray(params["gru_a_mask"])
+    assert 0.2 <= mask.mean() <= 0.3
