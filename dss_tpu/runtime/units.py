@@ -29,7 +29,7 @@ import sys
 import time
 from dataclasses import replace
 from pathlib import Path
-from typing import Any, AsyncGenerator, Callable, List, Optional
+from typing import Any, AsyncGenerator, Callable, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -546,6 +546,10 @@ class RecurrentNeuralDecodingModelSettings(Settings):
     params: Optional[dict]
     config_filename: Optional[str] = None
     length_multiple: int = 50  # segment padding bucket (masked; exact)
+    # Segment-length buckets compiled in a background thread at startup
+    # (multiples of length_multiple); 2*length_multiple is warmed
+    # synchronously in initialize(). See DelayedLPCNetVocoderSettings.
+    prewarm_frames: Tuple[int, ...] = (50, 150, 200, 250, 300)
 
 
 class RecurrentNeuralDecodingModel(Unit):
@@ -589,6 +593,24 @@ class RecurrentNeuralDecodingModel(Unit):
         from concurrent.futures import ThreadPoolExecutor
 
         self._executor = ThreadPoolExecutor(max_workers=1)
+        if self.SETTINGS.prewarm_frames:
+            import threading
+
+            infer, params = self._infer, self._params
+
+            def prewarm():
+                for n in self.SETTINGS.prewarm_frames:
+                    try:
+                        p, _ = infer(params,
+                                     jnp.zeros((1, n, electrodes), jnp.float32),
+                                     jnp.ones((1, n), jnp.float32))
+                        np.asarray(p)
+                    except Exception:  # pragma: no cover - warm is advisory
+                        logger.exception("decoder prewarm failed")
+                        return
+
+            threading.Thread(target=prewarm, daemon=True,
+                             name="decoder-prewarm").start()
 
     def shutdown(self) -> None:
         self._executor.shutdown(wait=True)
@@ -627,6 +649,11 @@ class DelayedLPCNetVocoderSettings(Settings):
     backend: str = "dsp"
     weights: Optional[str] = None
     length_multiple: int = 10  # frame-count bucket for jit shape reuse
+    # Frame-count buckets compiled in a background thread at startup so the
+    # first real segments rarely pay a stream-time compile (they would not
+    # freeze ingest either way — device work runs off the event loop — but
+    # the word's audio would be late). Must be multiples of length_multiple.
+    prewarm_frames: Tuple[int, ...] = (100, 200, 300)
 
 
 class DelayedLPCNetVocoder(Unit):
@@ -644,6 +671,19 @@ class DelayedLPCNetVocoder(Unit):
         s = self.SETTINGS or DelayedLPCNetVocoderSettings()
         self._lpcnet = LPCNet(backend=s.backend, weights=s.weights)
         self._executor = ThreadPoolExecutor(max_workers=1)
+        if s.prewarm_frames and s.backend != "dsp":
+            import threading
+
+            def prewarm():
+                for n in s.prewarm_frames:
+                    try:
+                        self._lpcnet.warm(n)
+                    except Exception:  # pragma: no cover - warm is advisory
+                        logger.exception("vocoder prewarm failed")
+                        return
+
+            threading.Thread(target=prewarm, daemon=True,
+                             name="vocoder-prewarm").start()
 
     def shutdown(self) -> None:
         self._executor.shutdown(wait=True)

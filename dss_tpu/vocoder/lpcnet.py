@@ -92,6 +92,19 @@ class LPCNet:
             dtype=np.int16,
         )
 
+    def warm(self, n_frames: int) -> None:
+        """Compile (and transfer-warm) the ``n_frames`` synthesis program
+        without touching decoder state. No-op for the DSP backend."""
+        if self.backend == "dsp":
+            return
+        state = net_vocoder_init(self._model, batch=1, seed=self._seed)
+        pcm, _ = net_synthesize_frames(
+            self._model, self._params, state,
+            jnp.zeros((1, n_frames, NB_FEATURES), jnp.float32),
+            use_pallas=self.use_pallas, sparse_pattern=self._sparse,
+        )
+        np.asarray(pcm)
+
     def synthesize_frames(self, features: np.ndarray) -> np.ndarray:
         """features [T, 20] -> int16 [T*160]; one compiled call."""
         if self.backend == "dsp":
