@@ -273,8 +273,18 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
     vocoder_backend = optional("Decoding", "vocoder_backend") or "dsp"
     vocoder_weights = optional("Decoding", "vocoder_weights")
     idle_timeout = optional("Decoding", "idle_timeout", float)
-    fused_frontend = (optional("Decoding", "fused_frontend") or "").lower() \
-        in ("1", "true", "yes")
+    # auto (default): fuse frontend+VAD into one device program when running
+    # on an accelerator — halves the per-packet dispatch round trips, which
+    # dominate packet latency on remote/tunneled devices. Explicit
+    # true/false still forces either wiring (behavior is identical; both
+    # are covered by the end-to-end tests).
+    fused_raw = (optional("Decoding", "fused_frontend") or "auto").lower()
+    if fused_raw == "auto":
+        import jax
+
+        fused_frontend = jax.default_backend() != "cpu"
+    else:
+        fused_frontend = fused_raw in ("1", "true", "yes")
 
     base_out_dir = settings_config.get("Decoding", "base_out_dir")
     destination_dir = os.path.join(base_out_dir, run_name)
