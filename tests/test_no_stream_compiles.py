@@ -1,0 +1,99 @@
+"""Regression: the per-packet online path must not compile at stream time.
+
+A stream-time compile (even a tiny implicit jit like a dtype cast or a
+bare jnp.argmax) blocks the event loop for seconds-to-minutes on remote
+backends and conflate then drops the live stream. These tests pin that
+every device program used per packet is compiled during initialize().
+"""
+
+import numpy as np
+import pytest
+
+from dss_tpu.models import UnidirectionalVoiceActivityDetector
+from dss_tpu.runtime.units import (
+    FilterSpeechSegments,
+    FilterSpeechSegmentsSettings,
+    FusedFrontendVad,
+    FusedFrontendVadSettings,
+    HighGammaActivity,
+    HighGammaActivitySettings,
+)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _compile_log():
+    """Capture jax 'Compiling ...' log lines; yields a callable returning
+    the compile messages recorded so far."""
+    import logging
+
+    import jax
+
+    jax.config.update("jax_log_compiles", True)
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda record: records.append(record.getMessage())
+    names = ("jax._src.interpreters.pxla", "jax._src.dispatch")
+    for name in names:
+        logging.getLogger(name).addHandler(handler)
+    try:
+        yield lambda: [m for m in records if m.startswith("Compiling ")]
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        for name in names:
+            logging.getLogger(name).removeHandler(handler)
+
+
+def test_vad_unit_compiles_nothing_per_packet():
+    unit = FilterSpeechSegments()
+    unit.apply_settings(FilterSpeechSegmentsSettings(
+        nb_features=64, fs=100,
+        vad_architecture=UnidirectionalVoiceActivityDetector,
+        vad_parameters=dict(nb_electrodes=64, nb_hidden_units=16,
+                            nb_layer=2),
+        buffer_size=200, context_frames=5,
+    ))
+    unit.initialize()
+    warmed = unit._infer._cache_size()
+    assert warmed == 2  # warm-start (1 frame) + steady (4 frames)
+
+    rng = np.random.default_rng(0)
+    with _compile_log() as compiles:
+        for frames in (1, 4, 4):
+            unit._vad_labels(rng.normal(size=(frames, 64)))  # float64 input!
+    assert unit._infer._cache_size() == warmed
+    assert compiles() == [], f"stream-time compiles: {compiles()}"
+    unit.shutdown()
+
+
+@pytest.mark.parametrize("unit_cls,settings", [
+    (HighGammaActivity, None),
+    (FusedFrontendVad, None),
+])
+def test_packet_units_compile_nothing_per_packet(unit_cls, settings):
+    common = dict(fs=1000, window_length=0.05, window_shift=0.01,
+                  package_size=40, raw_channels=8)
+    if unit_cls is HighGammaActivity:
+        unit = HighGammaActivity()
+        unit.apply_settings(HighGammaActivitySettings(
+            nb_electrodes=8, **common))
+    else:
+        unit = FusedFrontendVad()
+        unit.apply_settings(FusedFrontendVadSettings(
+            nb_features=8,
+            vad_architecture=UnidirectionalVoiceActivityDetector,
+            vad_parameters=dict(nb_electrodes=8, nb_hidden_units=16,
+                                nb_layer=2),
+            buffer_size=200, context_frames=5, **common))
+    unit.initialize()
+
+    rng = np.random.default_rng(1)
+    step = (unit._packet_features if unit_cls is HighGammaActivity
+            else unit._step)
+    with _compile_log() as compiles:
+        for _ in range(3):
+            step(rng.normal(size=(40, 8)))  # float64 packets, like the wire
+    assert compiles() == [], f"stream-time compiles: {compiles()}"
+    unit.shutdown()
