@@ -55,7 +55,8 @@ def _rpc_floor() -> float:
 
 
 def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
-                   chain: int = 16, chain_reps: int = 3) -> dict:
+                   chain: int = 16, chain_reps: int = 3,
+                   sparse: bool = False) -> dict:
     """Vocoder real-time factors for one compiled shape.
 
     Two numbers: ``rtf_call`` includes the per-call host round trip (the
@@ -64,6 +65,7 @@ def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
     number that reflects on-device synthesis speed.
     """
     import jax
+    import jax.numpy as jnp
 
     from dss_tpu.vocoder import LPCNetModel
     from dss_tpu.vocoder.net import net_synthesize_frames, net_vocoder_init
@@ -72,16 +74,35 @@ def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
     params = model.init(jax.random.PRNGKey(0))
     state = net_vocoder_init(model, batch=batch)
 
+    sparse_pattern = None
+    if sparse:
+        # The production config for trained models: the vocoder trainer
+        # prunes GRU-A to 20% density at the Pallas kernel's [16, 128]
+        # tile granularity, and the sampler then skips pruned tiles.
+        from dss_tpu.ops.pallas.sampler import (COL_BLOCK, ROW_BLOCK,
+                                                tile_sparse_pattern)
+
+        H, G = np.asarray(params["gru_a_mask"]).shape
+        keep = np.random.default_rng(7).random(
+            (H // ROW_BLOCK, G // COL_BLOCK)) < 0.2
+        keep[0, :] = True
+        mask = np.repeat(np.repeat(keep.astype(np.float32), ROW_BLOCK, 0),
+                         COL_BLOCK, 1)
+        params = dict(params, gru_a_mask=jnp.asarray(mask))
+        sparse_pattern, _ = tile_sparse_pattern(mask)
+
     rng = np.random.default_rng(0)
     feats = rng.normal(size=(batch, n_frames, 20)).astype(np.float32) * 0.1
     feats[..., 18] = 0.0
     feats[..., 19] = 0.2
 
-    backend = "pallas" if use_pallas else "scan"
+    backend = ("pallas-sparse20" if sparse else "pallas") if use_pallas \
+        else "scan"
     _log(f"vocoder[{backend}] b={batch} T={n_frames}: compiling...")
     t0 = time.perf_counter()
     pcm, st = net_synthesize_frames(model, params, state, feats,
-                                    use_pallas=use_pallas)
+                                    use_pallas=use_pallas,
+                                    sparse_pattern=sparse_pattern)
     _sync(pcm)
     _log(f"vocoder[{backend}] b={batch}: compile+first run "
          f"{time.perf_counter() - t0:.1f}s")
@@ -92,7 +113,8 @@ def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
     for _ in range(3):
         t0 = time.perf_counter()
         pcm, st = net_synthesize_frames(model, params, st, feats,
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas,
+                                        sparse_pattern=sparse_pattern)
         _sync(pcm)
         t_single = min(t_single, time.perf_counter() - t0)
 
@@ -101,7 +123,8 @@ def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
         t0 = time.perf_counter()
         for _ in range(chain):
             pcm, st = net_synthesize_frames(model, params, st, feats,
-                                            use_pallas=use_pallas)
+                                            use_pallas=use_pallas,
+                                            sparse_pattern=sparse_pattern)
         _sync(pcm)
         t_chain = min(t_chain, time.perf_counter() - t0)
 
@@ -342,6 +365,12 @@ def main() -> None:
             _set_headline(pal1)
             _PARTIAL["extra"]["vocoder_pallas_rtf_device"] = \
                 round(pal1["rtf_device"], 3)
+            # Production config for trained models (tile-pruned GRU-A).
+            pal1s = _bench_vocoder(n_frames=50, batch=1, use_pallas=True,
+                                   sparse=True)
+            _set_headline(pal1s)
+            _PARTIAL["extra"]["vocoder_sparse20_rtf_device"] = \
+                round(pal1s["rtf_device"], 3)
             pal64 = _bench_vocoder(n_frames=50, batch=64, use_pallas=True)
             _PARTIAL["extra"]["vocoder_rtf_64stream_aggregate_device"] = \
                 round(pal64["rtf_device"], 3)
