@@ -272,6 +272,14 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
         "Decoding", "initial_normalization_statistics", Path)
     vocoder_backend = optional("Decoding", "vocoder_backend") or "dsp"
     vocoder_weights = optional("Decoding", "vocoder_weights")
+    if vocoder_backend == "net" and not vocoder_weights:
+        from dss_tpu.vocoder import packaged_weights
+
+        vocoder_weights = packaged_weights()
+        if vocoder_weights:
+            logging.getLogger(os.path.basename(__file__)).info(
+                f"No vocoder weights configured — using packaged "
+                f"checkpoint {vocoder_weights}")
     idle_timeout = optional("Decoding", "idle_timeout", float)
     # auto (default): fuse frontend+VAD into one device program when running
     # on an accelerator — halves the per-packet dispatch round trips, which

@@ -46,7 +46,12 @@ def main() -> None:
 
     logging.basicConfig(level=logging.INFO)
     feats = load_features(args.features)
-    vocoder = LPCNet(backend=args.backend, weights=args.weights)
+    weights = args.weights
+    if args.backend == "net" and not weights:
+        from dss_tpu.vocoder import packaged_weights
+
+        weights = packaged_weights()
+    vocoder = LPCNet(backend=args.backend, weights=weights)
     pcm = vocoder.synthesize_frames(feats)
     write_wav(args.out_wav, pcm, fs=16000)
     logger.info(

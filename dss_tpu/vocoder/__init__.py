@@ -36,6 +36,21 @@ from .dsp import LPCVocoder
 from .net import LPCNetModel
 from .lpcnet import LPCNet, BatchedLPCNet, LPCFeatureFile
 
+
+def packaged_weights():
+    """Path to the repo's shipped neural-vocoder checkpoint, or None.
+
+    Trained on synthetic source-filter audio (see
+    tools/make_synthetic_corpus.py and tests/test_trained_vocoder.py) —
+    a working default for demos; retrain on real speech for deployment.
+    """
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "weights",
+                        "vocoder_synthetic.npz")
+    path = os.path.abspath(path)
+    return path if os.path.isfile(path) else None
+
 __all__ = [
     "mulaw_encode",
     "mulaw_decode",
