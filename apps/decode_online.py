@@ -201,6 +201,10 @@ class Neuroprosthesis(ez.System):
                         nb_electrodes=nb_electrodes),
         ))
 
+        logger.info(
+            f"Vocoder: backend={self.SETTINGS.vocoder_backend} "
+            f"weights={self.SETTINGS.vocoder_weights}"
+        )
         self.WAVEFORM_GENERATOR.apply_settings(DelayedLPCNetVocoderSettings(
             backend=self.SETTINGS.vocoder_backend,
             weights=self.SETTINGS.vocoder_weights,
@@ -273,13 +277,11 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
     vocoder_backend = optional("Decoding", "vocoder_backend") or "dsp"
     vocoder_weights = optional("Decoding", "vocoder_weights")
     if vocoder_backend == "net" and not vocoder_weights:
+        # Fall back to the repo's shipped checkpoint (random init would
+        # produce noise audio). The resolved path is logged by configure().
         from dss_tpu.vocoder import packaged_weights
 
         vocoder_weights = packaged_weights()
-        if vocoder_weights:
-            logging.getLogger(os.path.basename(__file__)).info(
-                f"No vocoder weights configured — using packaged "
-                f"checkpoint {vocoder_weights}")
     idle_timeout = optional("Decoding", "idle_timeout", float)
     # auto (default): fuse frontend+VAD into one device program when running
     # on an accelerator — halves the per-packet dispatch round trips, which
