@@ -61,6 +61,17 @@ def main() -> None:
     parser.add_argument("--density", type=float, default=0.2,
                         help="Final GRU-A recurrent density after pruning.")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--val-wav", default=None,
+                        help="Held-out 16 kHz wav: every --score-every "
+                             "epochs, run a FREE-RUNNING encode->synthesize "
+                             "round trip on it and log the Bark-cepstral "
+                             "distortion. Teacher-forced CE is blind to "
+                             "free-running quality (it can keep improving "
+                             "while synthesis is still noise, and the big "
+                             "quality gains land late), so gate releases on "
+                             "this score, not the loss.")
+    parser.add_argument("--score-every", type=int, default=10,
+                        help="Epoch interval for --val-wav scoring.")
     args = parser.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -112,6 +123,21 @@ def main() -> None:
         )
         np.savez(os.path.join(args.out_dir, "vocoder.npz"),
                  **{k: np.asarray(v) for k, v in params.items()})
+
+        if args.val_wav and (epoch + 1) % max(1, args.score_every) == 0:
+            from dss_tpu.eval.quality import score_roundtrip
+            from dss_tpu.vocoder import LPCNet
+
+            fs, val_audio = read_wav(args.val_wav)
+            vocoder = LPCNet(backend="net", model=model,
+                             weights={k: jnp.asarray(v)
+                                      for k, v in params.items()})
+            report = score_roundtrip(val_audio[: 16000 * 2], vocoder)
+            logger.info(
+                f"Epoch {epoch + 1:>03}: free-running val distortion "
+                f"{report.cepstral_distance_db:.2f} dB "
+                f"(band SNR {report.band_level_snr_db:.2f} dB)"
+            )
 
     logger.info(f"Saved weights to {os.path.join(args.out_dir, 'vocoder.npz')}")
 
