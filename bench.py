@@ -55,7 +55,7 @@ def _rpc_floor() -> float:
 
 
 def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
-                   chain: int = 16, chain_reps: int = 3,
+                   chain: int = 24, chain_reps: int = 4,
                    sparse: bool = False) -> dict:
     """Vocoder real-time factors for one compiled shape.
 
