@@ -361,12 +361,12 @@ def main() -> None:
     pal1 = pal64 = None
     if not fast:
         try:
-            pal1 = _bench_vocoder(n_frames=50, batch=1, use_pallas=True)
+            pal1 = _bench_vocoder(n_frames=100, batch=1, use_pallas=True)
             _set_headline(pal1)
             _PARTIAL["extra"]["vocoder_pallas_rtf_device"] = \
                 round(pal1["rtf_device"], 3)
             # Production config for trained models (tile-pruned GRU-A).
-            pal1s = _bench_vocoder(n_frames=50, batch=1, use_pallas=True,
+            pal1s = _bench_vocoder(n_frames=100, batch=1, use_pallas=True,
                                    sparse=True)
             _set_headline(pal1s)
             _PARTIAL["extra"]["vocoder_sparse20_rtf_device"] = \
@@ -377,7 +377,7 @@ def main() -> None:
         except Exception as e:  # Pallas path requires a real TPU backend
             _log(f"pallas vocoder bench unavailable: {e}")
 
-    scan1 = _bench_vocoder(n_frames=50, batch=1, use_pallas=False)
+    scan1 = _bench_vocoder(n_frames=100, batch=1, use_pallas=False)
     _set_headline(scan1)
     _PARTIAL["extra"]["vocoder_scan_rtf_device"] = \
         round(scan1["rtf_device"], 3)
