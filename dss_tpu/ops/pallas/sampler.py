@@ -60,20 +60,29 @@ def _one_hot(idx_col, levels, dtype=jnp.float32):
     return (lanes == idx_col).astype(dtype)
 
 
-def _gather_row(ref, idx):
-    """Dynamic row gather from a VMEM table ref [R, N] -> [1, N] f32.
+def _gather_rows_sum(refs_and_idx):
+    """Sum of dynamic row gathers from VMEM tables, one MXU dispatch.
 
-    Mosaic requires dynamic sublane offsets to be provably 8-aligned, so
-    the aligned 8-row block containing ``idx`` is loaded and the row
-    selected with a sublane mask (8 rows ~ 18 KB: still ~60x less traffic
-    than the one-hot matmul this replaces).
+    Each entry is (ref [R, N], idx): Mosaic requires dynamic sublane
+    offsets to be provably 8-aligned, so the aligned 8-row block containing
+    each ``idx`` is loaded; the blocks are stacked [8k, N] and hit ONE
+    one-hot [1, 8k] dot that selects AND sums all k rows (the kernel is
+    latency-bound on its serial op chain — one dispatch beats k).
+    Traffic is 8 rows per table, still ~60x less than the full one-hot
+    matmuls this replaces.
     """
-    base = (idx // 8) * 8
-    block = ref[pl.ds(base, 8), :]  # [8, N]
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-           == (idx - base)).astype(block.dtype)
-    # [1,8] x [8,N] one-hot dot: the row select rides the MXU instead of a
-    # sublane reduction on the VPU.
+    blocks, sels = [], []
+    for ref, idx in refs_and_idx:
+        base = (idx // 8) * 8
+        block = ref[pl.ds(base, 8), :]  # [8, N]
+        blocks.append(block)
+        # Cast each mask BEFORE the concat: Mosaic cannot concat/bitcast
+        # i1 vectors.
+        sels.append((jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+                     == (idx - base)).astype(block.dtype))
+    block = blocks[0] if len(blocks) == 1 else \
+        jnp.concatenate(blocks, axis=0)
+    sel = sels[0] if len(sels) == 1 else jnp.concatenate(sels, axis=1)
     return jnp.dot(sel, block, preferred_element_type=jnp.float32)
 
 
@@ -237,11 +246,11 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                 # at small batch).
                 rows = []
                 for b in range(batch):
-                    rows.append(
-                        _gather_row(emb_sig_ref, sig_idx[b, 0])
-                        + _gather_row(emb_pred_ref, pred_idx[b, 0])
-                        + _gather_row(emb_exc_ref, exc_s[b, 0])
-                    )
+                    rows.append(_gather_rows_sum((
+                        (emb_sig_ref, sig_idx[b, 0]),
+                        (emb_pred_ref, pred_idx[b, 0]),
+                        (emb_exc_ref, exc_s[b, 0]),
+                    )))
                 gx_emb = rows[0] if batch == 1 else \
                     jnp.concatenate(rows, axis=0)
                 gx_a = gx_emb + gx_a_cond
