@@ -250,14 +250,21 @@ def net_synthesize_frames(model: LPCNetModel, params,
         )
         sig = jnp.moveaxis(sig.reshape(T * FRAME_SIZE, B), 0, 1)  # [B, S]
 
-    # De-emphasis across the synthesized block.
-    def deemph_step(y_prev, s_t):
-        y = s_t + PREEMPH * y_prev
-        return y, y
+    # De-emphasis across the synthesized block: y[t] = s[t] + a*y[t-1] as a
+    # parallel associative scan over affine maps (exact; see ops/filters.py
+    # for the same construction). A sequential lax.scan here costs ~1 us
+    # per step x 16000 samples per 100 frames — it dominated the whole
+    # synthesis call (~40% of device time).
+    def combine(left, right):
+        ml, bl = left
+        mr, br = right
+        return ml * mr, mr * bl + br
 
-    deemph, pcm = jax.lax.scan(deemph_step, state.deemph,
-                               jnp.moveaxis(sig, 1, 0))
-    pcm = jnp.clip(jnp.moveaxis(pcm, 0, 1), -1.0, 1.0)
+    m_cum, b_cum = jax.lax.associative_scan(
+        combine, (jnp.full_like(sig, PREEMPH), sig), axis=1)
+    y = m_cum * state.deemph[..., None] + b_cum
+    deemph = y[:, -1]
+    pcm = jnp.clip(y, -1.0, 1.0)
 
     new_state = NetVocoderState(
         h_a=h_a, h_b=h_b, sig_mem=sig_mem, exc_idx=exc_idx,
