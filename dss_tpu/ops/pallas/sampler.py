@@ -194,7 +194,7 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
         emb_sig_ref, emb_pred_ref, emb_exc_ref,
         gru_a_wx_ref, gru_a_wh_ref, gru_a_bx_ref, gru_a_bh_ref,
         gru_b_wx_ref, gru_b_wh_ref, gru_b_bx_ref, gru_b_bh_ref,
-        out1_w_ref, out2_w_ref, out1_g_ref, out2_g_ref, out_b_ref,
+        out1_w_ref, out1_g_ref, out_b_ref,
         # initial state (read at step 0)
         h_a0_ref, h_b0_ref, sig_mem0_ref, exc0_ref,
         # outputs
@@ -296,8 +296,6 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                 * out1_g_ref[...]
             logits = (t12[:, :MULAW_LEVELS] + t12[:, MULAW_LEVELS:]
                       + out_b_ref[...])
-            # out2_w_ref / out2_g_ref are passed but unused: both heads
-            # live in the folded out1_* arrays.
 
             if stochastic:
                 bits = pltpu.prng_random_bits((batch, MULAW_LEVELS))
@@ -368,14 +366,14 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
         "emb_sig", "emb_pred", "emb_exc",
         "gru_a_wx", "gru_a_wh", "gru_a_bx", "gru_a_bh",
         "gru_b_wx", "gru_b_wh", "gru_b_bx", "gru_b_bh",
-        "fc_out1_w", "fc_out2_w", "fc_out1_g", "fc_out2_g", "fc_out_b",
+        "fc_out1_w", "fc_out1_g", "fc_out_b",
     ]
     # Large matrices stream from VMEM every sample step, which is the
     # kernel's bottleneck at small batch — bf16 halves that traffic (MXU
     # accumulation stays f32 via preferred_element_type). Biases/gains are
     # tiny and stay f32.
     matrix_keys = {"emb_sig", "emb_pred", "emb_exc", "gru_a_wx", "gru_a_wh",
-                   "gru_b_wx", "gru_b_wh", "fc_out1_w", "fc_out2_w"}
+                   "gru_b_wx", "gru_b_wh", "fc_out1_w"}
     fused = {
         # Dual output heads fold into one MXU dispatch (see kernel).
         "fc_out1_w": jnp.concatenate(
