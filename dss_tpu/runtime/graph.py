@@ -53,8 +53,16 @@ class _Stream:
     """Descriptor identifying a unit port. Accessing through an instance
     yields a port handle bound to that unit instance."""
 
-    def __init__(self, msg_type: Any = None):
+    def __init__(self, msg_type: Any = None, maxsize: int = 0):
         self.msg_type = msg_type
+        # For InputStream: edge queue capacity. 0 = unbounded (default).
+        # A bounded input applies backpressure to its publishers: when the
+        # consumer falls behind, publish() awaits, the upstream source
+        # stalls, and drop-old semantics at the network socket (ZMQ
+        # RCVHWM/conflate) shed stale packets — keeping end-to-end latency
+        # bounded under overload instead of queueing it (the reference gets
+        # the same behavior from its conflate SUB socket).
+        self.maxsize = maxsize
         self.name: Optional[str] = None
 
     def __set_name__(self, owner, name):
@@ -292,7 +300,8 @@ async def run_system_async(system: System,
     for u in units:
         for stream, fn in handler_map[u]:
             if stream is not None:
-                sub_queues[(id(u), id(stream))] = asyncio.Queue()
+                sub_queues[(id(u), id(stream))] = asyncio.Queue(
+                    maxsize=getattr(stream, "maxsize", 0))
 
     for src, dst in edges:
         key = (id(dst.unit), id(dst.stream))

@@ -140,7 +140,10 @@ class HighGammaActivitySettings(Settings):
 class HighGammaActivity(Unit):
     SETTINGS: HighGammaActivitySettings
 
-    INPUT = InputStream(TimeSeriesMessage)
+    # Bounded: when this unit falls behind (slow device round trips),
+    # backpressure reaches the ZMQ ingest and the socket's drop-old
+    # HWM sheds stale packets — latency stays bounded under overload.
+    INPUT = InputStream(TimeSeriesMessage, maxsize=8)
     OUTPUT = OutputStream(TimeSeriesMessage)
 
     def initialize(self) -> None:
@@ -318,7 +321,10 @@ class FilterSpeechSegments(Unit):
     ``previous_frames`` set for downstream alignment."""
 
     SETTINGS: FilterSpeechSegmentsSettings
-    INPUT = InputStream(ClosedLoopMessage)
+    # Bounded: when this unit falls behind (slow device round trips),
+    # backpressure reaches the ZMQ ingest and the socket's drop-old
+    # HWM sheds stale packets — latency stays bounded under overload.
+    INPUT = InputStream(ClosedLoopMessage, maxsize=8)
     OUTPUT = OutputStream(ClosedLoopMessage)
 
     def initialize(self) -> None:
@@ -437,7 +443,10 @@ class FusedFrontendVad(Unit):
     """
 
     SETTINGS: FusedFrontendVadSettings
-    INPUT = InputStream(ClosedLoopMessage)
+    # Bounded: when this unit falls behind (slow device round trips),
+    # backpressure reaches the ZMQ ingest and the socket's drop-old
+    # HWM sheds stale packets — latency stays bounded under overload.
+    INPUT = InputStream(ClosedLoopMessage, maxsize=8)
     FEATURES = OutputStream(ClosedLoopMessage)
     OUTPUT = OutputStream(ClosedLoopMessage)
 

@@ -175,3 +175,54 @@ def test_handler_error_does_not_wedge_graph():
     ez.run_system(system)
     assert system.BAD.seen == 5      # kept consuming after the error
     assert system.SINK.items == [0, 1, 2, 3, 4]
+
+
+class _LeadTracker(ez.Unit):
+    """Slow consumer with a bounded input that records how far the source
+    ran ahead of it (publisher backpressure check)."""
+
+    INPUT = ez.InputStream(TimeSeriesMessage, maxsize=2)
+
+    def initialize(self):
+        self.seen = []
+        self.max_lead = 0
+
+    @ez.subscriber(INPUT)
+    async def consume(self, msg):
+        import asyncio
+
+        await asyncio.sleep(0.005)  # slower than the source
+        self.seen.append(int(msg.data[0]))
+        self.max_lead = max(self.max_lead,
+                            _BackpressureSystem.SOURCE.sent - len(self.seen))
+
+
+class _CountingSource(_NumberSource):
+    @ez.publisher(_NumberSource.OUTPUT)
+    async def run(self):
+        self.sent = 0
+        for i in range(self.SETTINGS.count):
+            yield self.OUTPUT, TimeSeriesMessage(data=np.array([i]), fs=1)
+            self.sent += 1
+
+
+class _BackpressureSystem(ez.System):
+    SOURCE = _CountingSource()
+    SLOW = _LeadTracker()
+
+    def configure(self):
+        self.SOURCE.apply_settings(_NumberSourceSettings(count=30))
+
+    def network(self):
+        return ((self.SOURCE.OUTPUT, self.SLOW.INPUT),)
+
+
+def test_bounded_input_applies_backpressure():
+    """A bounded input queue must stall the publisher instead of letting
+    it run arbitrarily far ahead (reference drop-old conflate semantics
+    rely on the publisher stalling at the socket)."""
+    system = _BackpressureSystem()
+    ez.run_system(system)
+    assert system.SLOW.seen == list(range(30))  # in order, none lost
+    # maxsize=2 queue + 1 in-flight: the source never leads by more.
+    assert system.SLOW.max_lead <= 3, system.SLOW.max_lead
