@@ -61,7 +61,9 @@ class _Stream:
         # stalls, and drop-old semantics at the network socket (ZMQ
         # RCVHWM/conflate) shed stale packets — keeping end-to-end latency
         # bounded under overload instead of queueing it (the reference gets
-        # the same behavior from its conflate SUB socket).
+        # the same behavior from its conflate SUB socket). Only safe on
+        # acyclic routes: a bounded edge inside a publish cycle can
+        # deadlock (every graph in this repo is a DAG).
         self.maxsize = maxsize
         self.name: Optional[str] = None
 
