@@ -488,7 +488,13 @@ class FusedFrontendVad(Unit):
             feats, fe_state = extractor.packet_step(fe_state, packet)
             logits, vad_state = model.apply(params, feats[None], vad_state)
             labels = jnp.argmax(logits, axis=-1)[0]
-            return fe_state, vad_state, feats, labels
+            # Pack features + labels into ONE output array: the host needs
+            # both every packet, and each separate device->host read is a
+            # full round trip (~30 ms on a tunneled backend — two reads
+            # blew the 40 ms packet budget on their own).
+            packed = jnp.concatenate(
+                [feats, labels[:, None].astype(feats.dtype)], axis=1)
+            return fe_state, vad_state, packed
 
         self._packet_path = packet_path
         self._fe_state = extractor.init_state()
@@ -508,11 +514,13 @@ class FusedFrontendVad(Unit):
         self._executor.shutdown(wait=True)
 
     def _step(self, data: np.ndarray):
-        self._fe_state, self._vad_state, feats, labels = self._packet_path(
+        self._fe_state, self._vad_state, packed = self._packet_path(
             self._fe_state, self._vad_state,
             jnp.asarray(np.asarray(data, np.float32)),
         )
-        return np.asarray(feats, np.float64), np.asarray(labels)
+        packed = np.asarray(packed)  # ONE device->host read per packet
+        return packed[:, :-1].astype(np.float64), \
+            packed[:, -1].astype(np.int32)
 
     @subscriber(INPUT)
     @publisher(FEATURES)
