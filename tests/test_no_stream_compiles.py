@@ -97,3 +97,39 @@ def test_packet_units_compile_nothing_per_packet(unit_cls, settings):
             step(rng.normal(size=(40, 8)))  # float64 packets, like the wire
     assert compiles() == [], f"stream-time compiles: {compiles()}"
     unit.shutdown()
+
+
+def test_fused_and_separate_paths_agree():
+    """The fused frontend+VAD unit must produce the same features and
+    labels as the separate HighGammaActivity -> FilterSpeechSegments
+    chain (both wirings are selectable in decode_online)."""
+    common = dict(fs=1000, window_length=0.05, window_shift=0.01,
+                  package_size=40, raw_channels=8)
+    vad_kw = dict(vad_architecture=UnidirectionalVoiceActivityDetector,
+                  vad_parameters=dict(nb_electrodes=8, nb_hidden_units=16,
+                                      nb_layer=2),
+                  buffer_size=200, context_frames=5)
+
+    fused = FusedFrontendVad()
+    fused.apply_settings(FusedFrontendVadSettings(
+        nb_features=8, **vad_kw, **common))
+    fused.initialize()
+
+    hga = HighGammaActivity()
+    hga.apply_settings(HighGammaActivitySettings(nb_electrodes=8, **common))
+    hga.initialize()
+    vad = FilterSpeechSegments()
+    vad.apply_settings(FilterSpeechSegmentsSettings(
+        nb_features=8, fs=100, **vad_kw))
+    vad.initialize()
+
+    rng = np.random.default_rng(5)
+    for _ in range(6):
+        pkt = rng.normal(size=(40, 8))
+        f_feats, f_labels = fused._step(pkt)
+        s_feats = hga._packet_features(pkt)
+        s_labels = vad._vad_labels(s_feats)
+        np.testing.assert_allclose(f_feats, s_feats, atol=1e-5)
+        np.testing.assert_array_equal(f_labels, s_labels)
+    for u in (fused, hga, vad):
+        u.shutdown()
