@@ -176,13 +176,16 @@ def test_closed_loop(tmp_path, monkeypatch, fused):
     # decoded, and vocoded.
     vad_lines = (run_dir / "log.vad.lab").read_text().strip().split("\n")
     assert len(vad_lines) >= 2, vad_lines
-    start, stop, label = vad_lines[0].split("\t")
-    # Burst spans 2.0-3.5 s; segment includes 0.5 s trailing context and the
-    # smoothing delay, so start should be near 2 s (within the 1 s warmup
-    # fuzz) and the duration > 1 s.
-    assert 1.0 <= float(start) <= 3.0
-    assert float(stop) - float(start) >= 1.0
-    assert label.endswith("frames")
+    assert all(line.split("\t")[2].endswith("frames") for line in vad_lines)
+    # Burst spans 2.0-3.5 s; the segment includes 0.5 s trailing context and
+    # the smoothing delay, so SOME segment must start near 2 s (within 1 s
+    # warmup fuzz) with duration > 1 s.  Under heavy machine load the IIR
+    # warm-up transient can also emit a spurious early segment (the reference
+    # formula at local/units.py:444 yields the same), so don't require the
+    # burst to be the FIRST line.
+    spans = [(float(s), float(e)) for s, e, _ in
+             (line.split("\t") for line in vad_lines)]
+    assert any(1.0 <= s <= 3.0 and e - s >= 1.0 for s, e in spans), spans
 
     lpc = np.fromfile(run_dir / "log.lpc.f32", np.float32).reshape(-1, 20)
     assert len(lpc) >= 100  # >= 1 s of decoded frames
