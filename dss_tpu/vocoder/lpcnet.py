@@ -36,6 +36,17 @@ def _load_params(weights):
     return weights
 
 
+def _resolve_use_pallas(use_pallas) -> bool:
+    """None auto-selects the Pallas AR sampler on accelerator backends (it
+    is ~4x faster than the XLA scan formulation at small batch); CPU keeps
+    the scan path (the kernel would need the slow interpreter there)."""
+    if use_pallas is None:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    return bool(use_pallas)
+
+
 def _sparse_pattern_of(params, use_pallas: bool):
     """Static GRU-A tile keep-pattern when the trained mask is tile-sparse
     (Pallas path only; the pattern must be derived outside jit)."""
@@ -54,11 +65,11 @@ class LPCNet:
 
     def __init__(self, backend: str = "dsp", weights=None,
                  model: Optional[LPCNetModel] = None, seed: int = 0,
-                 use_pallas: bool = False):
+                 use_pallas: Optional[bool] = None):
         if backend not in ("dsp", "net"):
             raise ValueError(f"Unknown vocoder backend: {backend}")
         self.backend = backend
-        self.use_pallas = use_pallas
+        self.use_pallas = _resolve_use_pallas(use_pallas)
         self._seed = seed
         if backend == "dsp":
             self._dsp = LPCVocoder(seed=seed)
@@ -69,7 +80,7 @@ class LPCNet:
                 import jax
 
                 self._params = self._model.init(jax.random.PRNGKey(0))
-            self._sparse = _sparse_pattern_of(self._params, use_pallas)
+            self._sparse = _sparse_pattern_of(self._params, self.use_pallas)
             self.reset_decoder()
 
     def reset_decoder(self) -> None:
@@ -131,10 +142,10 @@ class BatchedLPCNet:
 
     def __init__(self, batch: int, backend: str = "net", weights=None,
                  model: Optional[LPCNetModel] = None, seed: int = 0,
-                 use_pallas: bool = False):
+                 use_pallas: Optional[bool] = None):
         self.batch = batch
         self.backend = backend
-        self.use_pallas = use_pallas
+        self.use_pallas = _resolve_use_pallas(use_pallas)
         if backend == "dsp":
             self._states = [LPCVocoder(seed=seed + i) for i in range(batch)]
         else:
@@ -144,7 +155,7 @@ class BatchedLPCNet:
                 import jax
 
                 self._params = self._model.init(jax.random.PRNGKey(0))
-            self._sparse = _sparse_pattern_of(self._params, use_pallas)
+            self._sparse = _sparse_pattern_of(self._params, self.use_pallas)
             self._state = net_vocoder_init(self._model, batch=batch, seed=seed)
 
     def reset(self) -> None:
