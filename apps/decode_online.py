@@ -31,6 +31,8 @@ from dss_tpu.ops import (  # noqa: E402
 )
 from dss_tpu.runtime.units import (  # noqa: E402
     BinaryLogger,
+    FusedDecoderVocoder,
+    FusedDecoderVocoderSettings,
     FusedFrontendVad,
     FusedFrontendVadSettings,
     DelayedLPCNetVocoder,
@@ -79,6 +81,9 @@ class NeuroprosthesisSettings(ez.Settings):
     # Fuse front-end + nVAD into one device dispatch per packet (halves the
     # per-packet round trips; identical outputs).
     fused_frontend: bool = False
+    # Fuse decode + vocode into one device dispatch per word (halves the
+    # per-word round trips; both stages share one prewarmed length bucket).
+    fused_decoder: bool = False
 
 
 class Neuroprosthesis(ez.System):
@@ -91,6 +96,7 @@ class Neuroprosthesis(ez.System):
     FUSED_FRONTEND = FusedFrontendVad()
     DECODING_MODEL = RecurrentNeuralDecodingModel()
     WAVEFORM_GENERATOR = DelayedLPCNetVocoder()
+    DECODE_VOCODE = FusedDecoderVocoder()
     LOUDSPEAKER = DelayedStdoutForSoX()
 
     RAW_LOGGER = BinaryLogger()
@@ -191,24 +197,40 @@ class Neuroprosthesis(ez.System):
         logger.info(
             f"Decoding model weights: {self.SETTINGS.decoding_model_weights}"
         )
-        self.DECODING_MODEL.apply_settings(RecurrentNeuralDecodingModelSettings(
-            path_to_model_weights=(
-                str(self.SETTINGS.decoding_model_weights)
-                if self.SETTINGS.decoding_model_weights is not None else None
-            ),
-            model=BidirectionalSpeechSynthesisModel,
-            params=dict(nb_layer=2, nb_hidden_units=100,
-                        nb_electrodes=nb_electrodes),
-        ))
-
         logger.info(
             f"Vocoder: backend={self.SETTINGS.vocoder_backend} "
-            f"weights={self.SETTINGS.vocoder_weights}"
+            f"weights={self.SETTINGS.vocoder_weights} "
+            f"fused_decoder={self.SETTINGS.fused_decoder}"
         )
-        self.WAVEFORM_GENERATOR.apply_settings(DelayedLPCNetVocoderSettings(
-            backend=self.SETTINGS.vocoder_backend,
-            weights=self.SETTINGS.vocoder_weights,
-        ))
+        decoding_weights = (
+            str(self.SETTINGS.decoding_model_weights)
+            if self.SETTINGS.decoding_model_weights is not None else None
+        )
+        decoder_params = dict(nb_layer=2, nb_hidden_units=100,
+                              nb_electrodes=nb_electrodes)
+        if self.SETTINGS.fused_decoder:
+            delattr(self, "DECODING_MODEL")
+            delattr(self, "WAVEFORM_GENERATOR")
+            self.DECODE_VOCODE.apply_settings(FusedDecoderVocoderSettings(
+                path_to_model_weights=decoding_weights,
+                model=BidirectionalSpeechSynthesisModel,
+                params=decoder_params,
+                vocoder_backend=self.SETTINGS.vocoder_backend,
+                vocoder_weights=self.SETTINGS.vocoder_weights,
+            ))
+        else:
+            delattr(self, "DECODE_VOCODE")
+            self.DECODING_MODEL.apply_settings(
+                RecurrentNeuralDecodingModelSettings(
+                    path_to_model_weights=decoding_weights,
+                    model=BidirectionalSpeechSynthesisModel,
+                    params=decoder_params,
+                ))
+            self.WAVEFORM_GENERATOR.apply_settings(
+                DelayedLPCNetVocoderSettings(
+                    backend=self.SETTINGS.vocoder_backend,
+                    weights=self.SETTINGS.vocoder_weights,
+                ))
 
         dest = self.SETTINGS.destination_dir
         self.RAW_LOGGER.apply_settings(LoggerSettings(
@@ -224,32 +246,42 @@ class Neuroprosthesis(ez.System):
             overwrite=True))
 
     def network(self) -> ez.NetworkDefinition:
+        # Packet path: ingest -> features -> VAD-gated segments (+ taps).
         if self.SETTINGS.fused_frontend:
-            return (
+            edges = [
                 (self.CONNECTOR.OUTPUT, self.FUSED_FRONTEND.INPUT),
-                (self.FUSED_FRONTEND.OUTPUT, self.DECODING_MODEL.INPUT),
-                (self.DECODING_MODEL.OUTPUT, self.WAVEFORM_GENERATOR.INPUT),
-                (self.WAVEFORM_GENERATOR.OUTPUT, self.LOUDSPEAKER.INPUT),
                 (self.CONNECTOR.OUTPUT, self.RAW_LOGGER.INPUT),
                 (self.FUSED_FRONTEND.FEATURES, self.HGA_LOGGER.INPUT),
                 (self.FUSED_FRONTEND.OUTPUT, self.VAD_LOGGER.INPUT),
+            ]
+            segments_out = self.FUSED_FRONTEND.OUTPUT
+        else:
+            edges = [
+                (self.CONNECTOR.OUTPUT, self.FEATURE_EXTRACTOR.INPUT),
+                (self.FEATURE_EXTRACTOR.OUTPUT, self.SPEECH_FILTER.INPUT),
+                (self.CONNECTOR.OUTPUT, self.RAW_LOGGER.INPUT),
+                (self.FEATURE_EXTRACTOR.OUTPUT, self.HGA_LOGGER.INPUT),
+                (self.SPEECH_FILTER.OUTPUT, self.VAD_LOGGER.INPUT),
+            ]
+            segments_out = self.SPEECH_FILTER.OUTPUT
+
+        # Word path: segments -> acoustic features -> audio (+ taps).
+        if self.SETTINGS.fused_decoder:
+            edges += [
+                (segments_out, self.DECODE_VOCODE.INPUT),
+                (self.DECODE_VOCODE.LPC, self.LPC_LOGGER.INPUT),
+                (self.DECODE_VOCODE.OUTPUT, self.LOUDSPEAKER.INPUT),
+                (self.DECODE_VOCODE.OUTPUT, self.WAV_LOGGER.INPUT),
+            ]
+        else:
+            edges += [
+                (segments_out, self.DECODING_MODEL.INPUT),
+                (self.DECODING_MODEL.OUTPUT, self.WAVEFORM_GENERATOR.INPUT),
+                (self.WAVEFORM_GENERATOR.OUTPUT, self.LOUDSPEAKER.INPUT),
                 (self.DECODING_MODEL.OUTPUT, self.LPC_LOGGER.INPUT),
                 (self.WAVEFORM_GENERATOR.OUTPUT, self.WAV_LOGGER.INPUT),
-            )
-        return (
-            # Main route
-            (self.CONNECTOR.OUTPUT, self.FEATURE_EXTRACTOR.INPUT),
-            (self.FEATURE_EXTRACTOR.OUTPUT, self.SPEECH_FILTER.INPUT),
-            (self.SPEECH_FILTER.OUTPUT, self.DECODING_MODEL.INPUT),
-            (self.DECODING_MODEL.OUTPUT, self.WAVEFORM_GENERATOR.INPUT),
-            (self.WAVEFORM_GENERATOR.OUTPUT, self.LOUDSPEAKER.INPUT),
-            # Logging taps
-            (self.CONNECTOR.OUTPUT, self.RAW_LOGGER.INPUT),
-            (self.FEATURE_EXTRACTOR.OUTPUT, self.HGA_LOGGER.INPUT),
-            (self.SPEECH_FILTER.OUTPUT, self.VAD_LOGGER.INPUT),
-            (self.DECODING_MODEL.OUTPUT, self.LPC_LOGGER.INPUT),
-            (self.WAVEFORM_GENERATOR.OUTPUT, self.WAV_LOGGER.INPUT),
-        )
+            ]
+        return tuple(edges)
 
 
 def main(settings: NeuroprosthesisSettings) -> None:
@@ -295,6 +327,17 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
         fused_frontend = jax.default_backend() != "cpu"
     else:
         fused_frontend = fused_raw in ("1", "true", "yes")
+    # Same auto policy for the per-word fused decode+vocode program; it
+    # needs the device-side (net) vocoder to pay off, so auto requires both
+    # an accelerator and backend=net.
+    fused_dec_raw = (optional("Decoding", "fused_decoder") or "auto").lower()
+    if fused_dec_raw == "auto":
+        import jax
+
+        fused_decoder = (jax.default_backend() != "cpu"
+                         and vocoder_backend == "net")
+    else:
+        fused_decoder = fused_dec_raw in ("1", "true", "yes")
 
     base_out_dir = settings_config.get("Decoding", "base_out_dir")
     destination_dir = os.path.join(base_out_dir, run_name)
@@ -314,6 +357,7 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
         vocoder_weights=vocoder_weights,
         idle_timeout=idle_timeout,
         fused_frontend=fused_frontend,
+        fused_decoder=fused_decoder,
     )
 
 

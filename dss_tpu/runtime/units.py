@@ -730,6 +730,200 @@ class DelayedLPCNetVocoder(Unit):
 # endregion
 
 
+# region Fused decode+vocode unit
+class FusedDecoderVocoderSettings(Settings):
+    """Settings for the fused per-word path (bidirectional decode + vocoder
+    synthesis in ONE device program — no reference counterpart; halves the
+    per-word device round trips and shares one segment-length bucket)."""
+
+    path_to_model_weights: Optional[str]
+    model: Any
+    params: Optional[dict]
+    vocoder_backend: str = "net"
+    vocoder_weights: Optional[str] = None
+    length_multiple: int = 50  # shared decode+vocode padding bucket
+    # Buckets compiled in a background thread at startup; 2*length_multiple
+    # is warmed synchronously in initialize().
+    prewarm_frames: Tuple[int, ...] = (50, 150, 200, 250, 300)
+
+
+class FusedDecoderVocoder(Unit):
+    """Decode one completed speech segment AND vocode it in a single jitted
+    dispatch (net backend; the dsp backend decodes on device and vocodes on
+    the host, same unit surface).
+
+    Functionally equivalent to RecurrentNeuralDecodingModel +
+    DelayedLPCNetVocoder in series: decoder state is fresh per segment
+    (reference local/units.py:507), vocoder state carries across segments.
+    The per-word critical path costs one device round trip instead of two,
+    and both stages share one segment-length bucket, so every prewarmed
+    length is compile-free at stream time.  Publishes the decoded features
+    on LPC (for the log.lpc tap) and int16 audio on OUTPUT; both ride the
+    same packed device->host read.
+    """
+
+    SETTINGS: FusedDecoderVocoderSettings
+    INPUT = InputStream(TimeSeriesMessage)
+    LPC = OutputStream(TimeSeriesMessage)
+    OUTPUT = OutputStream(TimeSeriesMessage)
+
+    def initialize(self) -> None:
+        import jax
+
+        s = self.SETTINGS
+        params = s.params or {}
+        self._model = s.model(**params)
+        if s.path_to_model_weights is not None:
+            self._dec_params = load_checkpoint(
+                str(s.path_to_model_weights), self._model.nb_layer,
+                bidirectional=True, head_name="regressor",
+            )
+        else:
+            self._dec_params = self._model.init(jax.random.PRNGKey(0))
+
+        if s.vocoder_backend == "net":
+            from ..vocoder.lpcnet import _load_params, _sparse_pattern_of
+            from ..vocoder.net import LPCNetModel, net_synthesize_frames, \
+                net_vocoder_init
+
+            self._voc_model = LPCNetModel()
+            self._voc_params = _load_params(s.vocoder_weights)
+            if self._voc_params is None:
+                self._voc_params = self._voc_model.init(jax.random.PRNGKey(0))
+            use_pallas = jax.default_backend() != "cpu"
+            sparse = _sparse_pattern_of(self._voc_params, use_pallas)
+            self._voc_state = net_vocoder_init(self._voc_model, batch=1)
+            decoder, voc_model = self._model, self._voc_model
+
+            @jax.jit
+            def segment_program(dec_params, voc_params, voc_state, x, mask):
+                pred, _ = decoder.apply(dec_params, x, None, mask=mask)
+                # Replace padded positions with the last valid frame (the
+                # same repeat-pad the separate vocoder unit applies) so the
+                # carried vocoder state never consumes masked-garbage
+                # conditioning.  mask is 1s then 0s; the last valid frame is
+                # picked with a one-hot reduction (no dynamic indexing).
+                nxt = jnp.concatenate(
+                    [mask[:, 1:], jnp.zeros_like(mask[:, :1])], axis=1)
+                last_ind = mask * (1.0 - nxt)
+                last_frame = jnp.einsum("bt,btf->bf", last_ind, pred)
+                feats = pred * mask[..., None] \
+                    + last_frame[:, None, :] * (1.0 - mask[..., None])
+                pcm, voc_state = net_synthesize_frames(
+                    voc_model, voc_params, voc_state, feats,
+                    use_pallas=use_pallas, sparse_pattern=sparse,
+                )
+                # Features + audio packed into ONE f32 array: the host needs
+                # both per word, and each separate device->host read is a
+                # full round trip on tunneled backends.
+                packed = jnp.concatenate(
+                    [pred.reshape(-1), pcm.reshape(-1)])
+                return packed, voc_state
+
+            self._program = segment_program
+            self._lpcnet = None
+        else:
+            from ..vocoder import LPCNet
+
+            self._lpcnet = LPCNet(backend=s.vocoder_backend,
+                                  weights=s.vocoder_weights)
+            decoder = self._model
+
+            @jax.jit
+            def segment_program(dec_params, voc_params, voc_state, x, mask):
+                pred, _ = decoder.apply(dec_params, x, None, mask=mask)
+                return pred.reshape(-1), voc_state
+
+            self._program = segment_program
+            self._voc_params = None
+            self._voc_state = None
+
+        # Warm the smallest bucket synchronously (host-transfer sync — see
+        # HighGammaActivity.initialize); remaining buckets in background.
+        electrodes = self._model.nb_electrodes
+        mult = s.length_multiple
+        self._warm(2 * mult, electrodes)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._executor = ThreadPoolExecutor(max_workers=1)
+        if s.prewarm_frames:
+            import threading
+
+            def prewarm():
+                for n in s.prewarm_frames:
+                    try:
+                        self._warm(n, electrodes)
+                    except Exception:  # pragma: no cover - warm is advisory
+                        logger.exception("fused decode+vocode prewarm failed")
+                        return
+
+            threading.Thread(target=prewarm, daemon=True,
+                             name="decvoc-prewarm").start()
+
+    def _warm(self, n_frames: int, electrodes: int) -> None:
+        """Compile the n_frames bucket against a THROWAWAY vocoder state."""
+        if self._voc_state is None:  # dsp backend: decode-only program
+            state = None
+        else:
+            from ..vocoder.net import net_vocoder_init
+
+            state = net_vocoder_init(self._voc_model, batch=1)
+        packed, _ = self._program(
+            self._dec_params, self._voc_params, state,
+            jnp.zeros((1, n_frames, electrodes), jnp.float32),
+            jnp.ones((1, n_frames), jnp.float32),
+        )
+        np.asarray(packed)
+        if self._lpcnet is not None:
+            self._lpcnet.warm(n_frames)
+
+    def shutdown(self) -> None:
+        self._executor.shutdown(wait=True)
+
+    def _decode_and_vocode(self, data: np.ndarray):
+        T = len(data)
+        mult = self.SETTINGS.length_multiple
+        Tp = -(-T // mult) * mult
+        x = np.zeros((1, Tp, data.shape[1]), np.float32)
+        x[0, :T] = data
+        mask = np.zeros((1, Tp), np.float32)
+        mask[0, :T] = 1.0
+        packed, self._voc_state = self._program(
+            self._dec_params, self._voc_params, self._voc_state,
+            jnp.asarray(x), jnp.asarray(mask),
+        )
+        packed = np.asarray(packed)  # ONE device->host read per word
+        nb_out = self._model.nb_outputs
+        lpc = packed[:Tp * nb_out].reshape(Tp, nb_out)[:T]
+        if self._lpcnet is not None:  # dsp backend: vocode on the host
+            # Repeat-pad to the shared bucket so the host vocoder reuses
+            # the same compiled shapes as the decode program.
+            feats = np.concatenate(
+                [lpc, np.repeat(lpc[-1:], Tp - T, axis=0)], axis=0)
+            audio = self._lpcnet.synthesize_frames(feats)[: T * 160]
+        else:
+            pcm = packed[Tp * nb_out:][: T * 160]
+            audio = np.clip(pcm * 32767.0, -32768, 32767).astype(np.int16)
+        return lpc, audio
+
+    @subscriber(INPUT)
+    @publisher(LPC)
+    @publisher(OUTPUT)
+    async def decode(self, msg: TimeSeriesMessage) -> AsyncGenerator:
+        import asyncio
+
+        data = np.asarray(msg.data, np.float32)
+        # Off the event loop: an un-prewarmed segment-length bucket compiles
+        # here (tens of seconds on a tunneled device) and must not freeze
+        # ingest. Single worker keeps segments ordered.
+        lpc, audio = await asyncio.get_running_loop().run_in_executor(
+            self._executor, self._decode_and_vocode, data
+        )
+        yield self.LPC, replace(msg, data=lpc, fs=100)
+        yield self.OUTPUT, replace(msg, data=audio, fs=16000)
+# endregion
+
+
 # region Output unit
 class DelayedStdoutForSoX(Unit):
     """Write int16 PCM to stdout for ``play -t raw -r 16000 ...``.

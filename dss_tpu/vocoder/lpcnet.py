@@ -105,8 +105,14 @@ class LPCNet:
 
     def warm(self, n_frames: int) -> None:
         """Compile (and transfer-warm) the ``n_frames`` synthesis program
-        without touching decoder state. No-op for the DSP backend."""
+        without touching decoder state."""
         if self.backend == "dsp":
+            from .dsp import dsp_synthesize_frames, dsp_vocoder_init
+
+            pcm, _ = dsp_synthesize_frames(
+                dsp_vocoder_init(self._seed),
+                jnp.zeros((n_frames, NB_FEATURES), jnp.float32))
+            np.asarray(pcm)
             return
         state = net_vocoder_init(self._model, batch=1, seed=self._seed)
         pcm, _ = net_synthesize_frames(

@@ -66,8 +66,12 @@ class _ThresholdVAD:
         return logits, state
 
 
-@pytest.mark.parametrize("fused", [False, True])
-def test_closed_loop(tmp_path, monkeypatch, fused):
+@pytest.mark.parametrize("fused,fused_decoder", [
+    (False, False),
+    (True, False),
+    (False, True),  # fused decode+vocode word path (dsp backend, host voc)
+])
+def test_closed_loop(tmp_path, monkeypatch, fused, fused_decoder):
     mat_path = tmp_path / "KeywordSynthesis_Overt_R01.mat"
     _make_session_mat(mat_path)
 
@@ -85,6 +89,7 @@ def test_closed_loop(tmp_path, monkeypatch, fused):
         idle_timeout=8.0,
         vocoder_backend="dsp",
         fused_frontend=fused,
+        fused_decoder=fused_decoder,
     )
     system = decode_online.Neuroprosthesis(settings)
 
