@@ -229,10 +229,13 @@ def _bench_hga_offline(seconds: int = 60, iters: int = 3) -> float:
     return sps
 
 
-def _bench_segment_path(frames: int = 300) -> float:
-    """Device time (ms) to turn one completed speech segment (~3 s) into
-    audio: bidirectional decode + Pallas vocoder synthesis — the compute
-    part of the closed loop's per-word latency."""
+def _bench_segment_path(frames: int = 300) -> dict:
+    """Wall time (ms) to turn one completed speech segment (~3 s) into
+    audio — the compute part of the closed loop's per-word latency.
+
+    Two variants: the separate decode + vocode chain (two dispatches, two
+    device->host reads) and the fused one-program path used by the online
+    FusedDecoderVocoder unit (one dispatch, one packed read)."""
     import jax
     import jax.numpy as jnp
 
@@ -251,6 +254,13 @@ def _bench_segment_path(frames: int = 300) -> float:
         pred, _ = decoder.apply(dec_params, segment)
         return pred
 
+    @jax.jit
+    def fused(voc_state, segment):
+        pred, _ = decoder.apply(dec_params, segment)
+        pcm, voc_state = net_synthesize_frames(voc, voc_params, voc_state,
+                                               pred, use_pallas=True)
+        return jnp.concatenate([pred.reshape(-1), pcm.reshape(-1)]), voc_state
+
     rng = np.random.default_rng(0)
     segment = jnp.asarray(rng.normal(size=(1, frames, 64)), jnp.float32)
 
@@ -258,19 +268,32 @@ def _bench_segment_path(frames: int = 300) -> float:
     lpc = decode(segment)
     pcm, st = net_synthesize_frames(voc, voc_params, state, lpc,
                                     use_pallas=True)
+    _sync(lpc)
     _sync(pcm)
 
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
         lpc = decode(segment)
+        _sync(lpc)  # the separate chain reads features back between units
         pcm, st = net_synthesize_frames(voc, voc_params, st, lpc,
                                         use_pallas=True)
         _sync(pcm)
         best = min(best, time.perf_counter() - t0)
-    ms = best * 1000
-    _log(f"segment-path: {frames} frames -> audio in {ms:.1f} ms")
-    return ms
+    ms_sep = best * 1000
+    _log(f"segment-path[separate]: {frames} frames -> audio in {ms_sep:.1f} ms")
+
+    packed, st2 = fused(state, segment)
+    _sync(packed)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        packed, st2 = fused(st2, segment)
+        _sync(packed)  # ONE packed read, like the online fused unit
+        best = min(best, time.perf_counter() - t0)
+    ms_fused = best * 1000
+    _log(f"segment-path[fused]: {frames} frames -> audio in {ms_fused:.1f} ms")
+    return {"separate_ms": ms_sep, "fused_ms": ms_fused}
 
 
 def _bench_scaleup(iters: int = 30) -> float:
@@ -391,8 +414,11 @@ def main() -> None:
     _PARTIAL["extra"]["hga_offline_samples_per_sec"] = \
         round(_bench_hga_offline(), 1)
     _PARTIAL["extra"]["packet_to_vad_p50_ms"] = round(_bench_latency(), 3)
+    seg = _bench_segment_path()
     _PARTIAL["extra"]["segment_300frames_to_audio_ms"] = \
-        round(_bench_segment_path(), 3)
+        round(seg["fused_ms"], 3)
+    _PARTIAL["extra"]["segment_300frames_separate_chain_ms"] = \
+        round(seg["separate_ms"], 3)
     _PARTIAL["extra"]["scaleup_8x256ch_frames_per_sec"] = \
         round(_bench_scaleup(), 1)
 
