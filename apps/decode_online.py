@@ -84,6 +84,10 @@ class NeuroprosthesisSettings(ez.Settings):
     # Fuse decode + vocode into one device dispatch per word (halves the
     # per-word round trips; both stages share one prewarmed length bucket).
     fused_decoder: bool = False
+    # Segment-length padding bucket and startup-prewarm list for the word
+    # path; tune per deployment with tools/bucket_sweep.py over log.vad.lab.
+    segment_length_multiple: int = 50
+    segment_prewarm_frames: Tuple[int, ...] = (50, 150, 200, 250, 300)
 
 
 class Neuroprosthesis(ez.System):
@@ -208,6 +212,10 @@ class Neuroprosthesis(ez.System):
         )
         decoder_params = dict(nb_layer=2, nb_hidden_units=100,
                               nb_electrodes=nb_electrodes)
+        buckets = dict(
+            length_multiple=self.SETTINGS.segment_length_multiple,
+            prewarm_frames=tuple(self.SETTINGS.segment_prewarm_frames),
+        )
         if self.SETTINGS.fused_decoder:
             delattr(self, "DECODING_MODEL")
             delattr(self, "WAVEFORM_GENERATOR")
@@ -217,6 +225,7 @@ class Neuroprosthesis(ez.System):
                 params=decoder_params,
                 vocoder_backend=self.SETTINGS.vocoder_backend,
                 vocoder_weights=self.SETTINGS.vocoder_weights,
+                **buckets,
             ))
         else:
             delattr(self, "DECODE_VOCODE")
@@ -225,6 +234,7 @@ class Neuroprosthesis(ez.System):
                     path_to_model_weights=decoding_weights,
                     model=BidirectionalSpeechSynthesisModel,
                     params=decoder_params,
+                    **buckets,
                 ))
             self.WAVEFORM_GENERATOR.apply_settings(
                 DelayedLPCNetVocoderSettings(
@@ -338,6 +348,13 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
                          and vocoder_backend == "net")
     else:
         fused_decoder = fused_dec_raw in ("1", "true", "yes")
+    # Word-path padding buckets (tools/bucket_sweep.py prints these two
+    # lines ready to paste from observed log.vad.lab distributions).
+    segment_length_multiple = optional(
+        "Decoding", "segment_length_multiple", int) or 50
+    segment_prewarm_frames = optional(
+        "Decoding", "segment_prewarm_frames",
+        lambda v: tuple(json.loads(v))) or (50, 150, 200, 250, 300)
 
     base_out_dir = settings_config.get("Decoding", "base_out_dir")
     destination_dir = os.path.join(base_out_dir, run_name)
@@ -358,6 +375,8 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
         idle_timeout=idle_timeout,
         fused_frontend=fused_frontend,
         fused_decoder=fused_decoder,
+        segment_length_multiple=segment_length_multiple,
+        segment_prewarm_frames=segment_prewarm_frames,
     )
 
 

@@ -31,3 +31,39 @@ def test_sweep_tradeoff():
     # All padded lengths are multiples of the bucket and >= the raw length.
     padded = -(-lengths // 50) * 50
     assert np.all(padded % 50 == 0) and np.all(padded >= lengths)
+
+
+def test_recommend_prewarm_covers_distribution():
+    from bucket_sweep import recommend_prewarm
+
+    lengths = np.array([120, 130, 140, 260, 270, 430] * 10 + [900])
+    prewarm = recommend_prewarm(lengths, 50, coverage=0.98)
+    assert prewarm == sorted(prewarm)
+    assert all(b % 50 == 0 for b in prewarm)
+    padded = -(-lengths // 50) * 50
+    covered = np.isin(padded, prewarm).mean()
+    assert covered >= 0.98
+    # The rare 900-frame outlier may stay cold.
+    assert 150 in prewarm and 300 in prewarm and 450 in prewarm
+
+
+def test_ini_bucket_options(tmp_path):
+    """decode_online threads segment_length_multiple / prewarm_frames from
+    the INI into the word-path units."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
+    import decode_online
+
+    src = os.path.join(os.path.dirname(__file__), "..", "config",
+                       "debug_settings.ini")
+    cfg = tmp_path / "cfg.ini"
+    text = open(src).read().replace(
+        "segment_length_multiple = 50", "segment_length_multiple = 25"
+    ).replace(
+        "segment_prewarm_frames = [50, 150, 200, 250, 300]",
+        "segment_prewarm_frames = [75, 125]",
+    )
+    cfg.write_text(text)
+    settings = decode_online.build_neuroprostetics_settings(
+        str(cfg), "run", overwrite=True)
+    assert settings.segment_length_multiple == 25
+    assert settings.segment_prewarm_frames == (75, 125)

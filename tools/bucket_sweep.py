@@ -126,6 +126,9 @@ def main() -> None:
     parser.add_argument("--measure", action="store_true",
                         help="Time real decoder inference per bucket on the "
                              "current JAX device instead of the cost model.")
+    parser.add_argument("--prewarm-coverage", type=float, default=0.98,
+                        help="Fraction of observed segments the recommended "
+                             "prewarm bucket list must cover.")
     parser.add_argument("--platform", default=None,
                         help="Force a JAX platform (e.g. 'cpu').")
     args = parser.parse_args()
@@ -156,8 +159,31 @@ def main() -> None:
     for row in results:
         print(json.dumps(row))
     best = min(results, key=lambda r: r["est_session_s"])
-    print(json.dumps({"recommended_length_multiple":
-                      best["length_multiple"]}))
+    prewarm = recommend_prewarm(lengths, best["length_multiple"],
+                                coverage=args.prewarm_coverage)
+    print(json.dumps({
+        "recommended_length_multiple": best["length_multiple"],
+        "recommended_prewarm_frames": prewarm,
+        # Paste-ready for config/debug_settings.ini [Decoding]:
+        "ini": (f"segment_length_multiple = {best['length_multiple']}\n"
+                f"segment_prewarm_frames = {prewarm}"),
+    }))
+
+
+def recommend_prewarm(lengths: np.ndarray, mult: int,
+                      coverage: float = 0.98) -> list:
+    """Bucket lengths (multiples of ``mult``) to pre-compile at startup:
+    the most frequent observed buckets, greedily added until ``coverage``
+    of segments hit a prewarmed program."""
+    padded = -(-lengths // mult) * mult
+    counts = Counter(padded.tolist())
+    picked, covered = [], 0
+    for bucket, n in counts.most_common():
+        picked.append(int(bucket))
+        covered += n
+        if covered >= coverage * len(lengths):
+            break
+    return sorted(picked)
 
 
 if __name__ == "__main__":
