@@ -32,3 +32,24 @@ Layer map (mirrors the reference's 7 layers, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def _apply_platform_env() -> None:
+    """Honor DSS_PLATFORM=cpu|tpu|... for every CLI/app uniformly.
+
+    Some deployments force-register a remote accelerator plugin via
+    sitecustomize and PREPEND it to jax_platforms, so a plain JAX_PLATFORMS
+    env var cannot win; an explicit jax.config update (before the first
+    backend use) can.  No-op when the variable is unset or jax is already
+    initialized."""
+    import os
+
+    platform = os.environ.get("DSS_PLATFORM")
+    if not platform:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+
+
+_apply_platform_env()

@@ -98,7 +98,11 @@ fi
 # -------------------------------------------------------------------------
 if [ ${stage} -le 7 ] && [ ${stop_stage} -ge 7 ]; then
     echo "Stage 7: Play one file from the online test days locally (60 seconds)"
-    python apps/development_amplifier.py $LIVE_DIR/2023_04_14/KeywordSynthesis_Overt_R01.mat --seconds 60 &
+    # AMP_START_DELAY (seconds, default 0) holds the amplifier back until
+    # the decoder has warmed its device programs — useful on backends with
+    # slow XLA compiles; 0 reproduces the reference's behavior.
+    ( sleep ${AMP_START_DELAY:-0}; \
+      python apps/development_amplifier.py $LIVE_DIR/2023_04_14/KeywordSynthesis_Overt_R01.mat --seconds 60 ) &
 fi
 
 # -------------------------------------------------------------------------
@@ -106,6 +110,12 @@ fi
 # -------------------------------------------------------------------------
 if [ ${stage} -le 8 ] && [ ${stop_stage} -ge 8 ]; then
     echo "Stage 8: Starting online decoder (close using CTRL-C)"
-    python apps/decode_online.py $settings --run replicate --overwrite |  \
-      play -t raw -r 16000 -e signed -b 16 -c 1 --buffer 256 -V0 -q -
+    if command -v play >/dev/null 2>&1; then
+        python apps/decode_online.py $settings --run replicate --overwrite |  \
+          play -t raw -r 16000 -e signed -b 16 -c 1 --buffer 256 -V0 -q -
+    else
+        echo "play (SoX) not installed - writing PCM to $TEMP_DIR/replicate_audio.pcm"
+        python apps/decode_online.py $settings --run replicate --overwrite \
+          > $TEMP_DIR/replicate_audio.pcm
+    fi
 fi
