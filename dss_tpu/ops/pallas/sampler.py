@@ -126,6 +126,19 @@ def tile_sparse_pattern(mask: np.ndarray):
     return pattern, kept
 
 
+def _runs(rows):
+    """Coalesce a sorted index tuple into (start, length) runs: the kernel
+    is latency-bound on op count, so one slice per contiguous run beats one
+    slice per row block."""
+    out = []
+    for i in rows:
+        if out and out[-1][0] + out[-1][1] == i:
+            out[-1] = (out[-1][0], out[-1][1] + 1)
+        else:
+            out.append((i, 1))
+    return out
+
+
 def _compact_sparse_wh(wh_masked: jnp.ndarray, pattern) -> jnp.ndarray:
     """Concatenate kept [ROW_BLOCK, COL_BLOCK] tiles into one [R, COL_BLOCK]
     slab (groups in order, each group's kept row blocks in order)."""
@@ -154,9 +167,10 @@ def _gru_pre_sparse(gx, h, wh_sp_ref, bh, units, pattern, batch):
         if not rows:
             outs.append(jnp.zeros((batch, COL_BLOCK), jnp.float32))
             continue
-        hg = jnp.concatenate(
-            [h[:, i * ROW_BLOCK:(i + 1) * ROW_BLOCK] for i in rows], axis=1
-        ).astype(wdt)
+        segs = [h[:, s * ROW_BLOCK:(s + n) * ROW_BLOCK]
+                for s, n in _runs(rows)]
+        hg = (segs[0] if len(segs) == 1
+              else jnp.concatenate(segs, axis=1)).astype(wdt)
         k = len(rows) * ROW_BLOCK
         outs.append(jnp.dot(hg, wh_sp_ref[pl.ds(off, k), :],
                             preferred_element_type=jnp.float32))
@@ -182,7 +196,8 @@ def _gru(x, h, wx, wh, bx, bh, units):
 def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                  cond_dim: int, embed_dim: int, batch: int,
                  stochastic: bool = True, sparse_pattern=None,
-                 fuse_embed: bool = False):
+                 fuse_embed: bool = False, hoist_noise: bool = False,
+                 unroll: int = 1):
     def kernel(
         # frame-rate inputs (one frame per grid step)
         cond_ref, lpc_ref, temp_ref, seed_ref,
@@ -200,9 +215,10 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
         # outputs
         sig_out_ref, h_a_out_ref, h_b_out_ref, sig_mem_out_ref, exc_out_ref,
         # scratch state (persists across grid steps)
-        h_a_s, h_b_s, sig_mem_s, exc_s,
+        h_a_s, h_b_s, sig_mem_s, exc_s, *extra_s,
     ):
         t = pl.program_id(0)
+        gumbel_s = extra_s[0] if hoist_noise else None
 
         @pl.when(t == 0)
         def _init():
@@ -213,6 +229,18 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
 
         if stochastic:
             pltpu.prng_seed(seed_ref[pl.program_id(0)])
+            if hoist_noise:
+                # The whole frame's Gumbel noise is drawn and transformed
+                # ONCE per frame (vectorized over all samples); the per-
+                # sample serial chain then only pays an aligned 8-row load
+                # + one-hot row select instead of prng + bitcasts + two
+                # transcendentals every sample.
+                bits = pltpu.prng_random_bits((frame_size, MULAW_LEVELS))
+                bits24 = pltpu.bitcast(
+                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
+                )
+                u = bits24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
+                gumbel_s[...] = -jnp.log(-jnp.log(u))
 
         cond = cond_ref[0]          # [B, cond_dim]
         lpc = lpc_ref[0]            # [B, lpc_order]
@@ -231,11 +259,18 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                             preferred_element_type=jnp.float32) \
             + gru_b_bx_ref[...]
 
+        # Loop-invariant vectors, hoisted off the per-sample serial chain.
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (batch, MULAW_LEVELS), 1)
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+
         def step(i, _):
             sig_mem = sig_mem_s[...]
             pred = -jnp.sum(sig_mem * lpc, axis=1, keepdims=True)  # [B,1]
 
             wdt = emb_sig_ref.dtype
+            # NB: keep these two encodes SEPARATE — fusing them via a
+            # [B,2] concat measured slower (the concat serializes two
+            # otherwise-overlappable transcendental chains).
             sig_idx = _mulaw_encode(sig_mem[:, :1])  # [B,1] int32
             pred_idx = _mulaw_encode(pred)           # [B,1]
 
@@ -298,20 +333,27 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                       + out_b_ref[...])
 
             if stochastic:
-                bits = pltpu.prng_random_bits((batch, MULAW_LEVELS))
-                # Mosaic lacks uint32->f32 casts; route through int32 (the
-                # top 8 bits are shifted out, so the value is sign-safe).
-                bits24 = pltpu.bitcast(
-                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
-                )
-                u = bits24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
-                gumbel = -jnp.log(-jnp.log(u))
+                if hoist_noise:
+                    base = (i // 8) * 8
+                    blk = gumbel_s[pl.ds(base, 8), :]          # [8, 256]
+                    sel = (iota8 == (i - base)).astype(jnp.float32)
+                    gumbel = jnp.dot(sel, blk,
+                                     preferred_element_type=jnp.float32)
+                else:
+                    bits = pltpu.prng_random_bits((batch, MULAW_LEVELS))
+                    # Mosaic lacks uint32->f32 casts; route through int32
+                    # (the top 8 bits are shifted out, so the value is
+                    # sign-safe).
+                    bits24 = pltpu.bitcast(
+                        pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
+                    )
+                    u = bits24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
+                    gumbel = -jnp.log(-jnp.log(u))
                 scores = jnp.where(greedy, logits, logits * temp + gumbel)
             else:
                 scores = logits
 
             m = jnp.max(scores, axis=1, keepdims=True)
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (batch, MULAW_LEVELS), 1)
             new_exc = jnp.min(
                 jnp.where(scores >= m, lanes, MULAW_LEVELS), axis=1,
                 keepdims=True,
@@ -326,7 +368,10 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
             sig_out_ref[0, i, :] = sample[:, 0]
             return 0
 
-        jax.lax.fori_loop(0, frame_size, step, 0)
+        if unroll > 1:
+            jax.lax.fori_loop(0, frame_size, step, 0, unroll=unroll)
+        else:
+            jax.lax.fori_loop(0, frame_size, step, 0)
 
         h_a_out_ref[...] = h_a_s[...]
         h_b_out_ref[...] = h_b_s[...]
@@ -338,11 +383,12 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
 
 @partial(jax.jit, static_argnames=("frame_size", "stochastic",
                                    "weight_dtype", "sparse_pattern",
-                                   "fuse_embed"))
+                                   "fuse_embed", "hoist_noise", "unroll"))
 def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
                   exc0, frame_size: int, stochastic: bool = True,
                   weight_dtype=jnp.bfloat16, sparse_pattern=None,
-                  fuse_embed: bool = False):
+                  fuse_embed: bool = False, hoist_noise: bool = False,
+                  unroll: int = 1):
     """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T] int32."""
     T, B, cd = cond.shape
     lpc_order = lpc.shape[-1]
@@ -353,7 +399,8 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
     kernel = _make_kernel(frame_size, lpc_order, gru_a, gru_b, cd,
                           embed_dim, B, stochastic=stochastic,
                           sparse_pattern=sparse_pattern,
-                          fuse_embed=fuse_embed)
+                          fuse_embed=fuse_embed, hoist_noise=hoist_noise,
+                          unroll=unroll)
 
     def frame_spec(shape):
         return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
@@ -443,7 +490,8 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
             pltpu.VMEM((B, gru_b), jnp.float32),
             pltpu.VMEM((B, lpc_order), jnp.float32),
             pltpu.VMEM((B, 1), jnp.int32),
-        ],
+        ] + ([pltpu.VMEM((frame_size, MULAW_LEVELS), jnp.float32)]
+             if hoist_noise else []),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_INTERPRET,
     )(cond, lpc, temp, seeds, *weight_vals, h_a0, h_b0, sig_mem0, exc0)
@@ -452,7 +500,8 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
 def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
                           temperature, seeds, frame_size: int = 160,
                           stochastic: bool = True, weight_dtype=None,
-                          sparse_pattern=None, fuse_embed=None):
+                          sparse_pattern=None, fuse_embed=None,
+                          hoist_noise=None, unroll: int = 1):
     """Synthesize T frames with the Pallas sampler.
 
     carry: (h_a [B,ga], h_b [B,gb], sig_mem [B,16], exc_idx [B]).
@@ -473,6 +522,15 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
         # Row gathers cost 3 dynamic slices per stream per sample; they beat
         # streaming the embedding weights only while the batch is small.
         fuse_embed = cond_all.shape[0] <= 4
+    if hoist_noise is None:
+        # Measured on TPU v5e: the per-sample prng + gumbel transform sits
+        # OFF the loop-carried dependency chain, so hoisting it per-frame
+        # buys nothing (56.5x -> 55.6x, slightly negative: the one-hot row
+        # select adds an MXU dispatch ON the chain).  Kept as an option for
+        # future configs; requires B == 1 and 8-aligned frames.
+        hoist_noise = False
+    hoist_noise = bool(hoist_noise and stochastic and cond_all.shape[0] == 1
+                       and frame_size % 8 == 0)
     cond = jnp.moveaxis(jnp.asarray(cond_all, jnp.float32), 1, 0)
     lpc = jnp.moveaxis(jnp.asarray(lpc_all, jnp.float32), 1, 0)
     temp = jnp.moveaxis(jnp.asarray(temperature, jnp.float32), 1, 0)
@@ -483,7 +541,8 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
         jnp.asarray(exc_idx, jnp.int32).reshape(-1, 1),
         frame_size=frame_size, stochastic=stochastic,
         weight_dtype=weight_dtype, sparse_pattern=sparse_pattern,
-        fuse_embed=bool(fuse_embed),
+        fuse_embed=bool(fuse_embed), hoist_noise=bool(hoist_noise),
+        unroll=unroll,
     )
     T, F, B = sig.shape
     sig = jnp.moveaxis(sig.reshape(T * F, B), 0, 1)

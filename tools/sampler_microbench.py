@@ -1,0 +1,145 @@
+"""A/B microbenchmark for the Pallas AR sampler kernel variants.
+
+Times ``sampler_frames_pallas`` configurations on the attached TPU with the
+same hard-sync + chained-call methodology as bench.py (the tunneled backend
+makes single-call timings RPC-bound; the chained marginal cost estimates
+on-device time).  Used to tune the per-sample serial op chain — at B=1 the
+kernel is latency-bound, so op-count changes move the needle directly.
+
+Usage: python tools/sampler_microbench.py [--frames 100] [--chain 24]
+       [--variants dense-bf16,sparse-bf16,...]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x):
+    return np.asarray(x)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--chain", type=int, default=24)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--variants", type=str, default="")
+    ap.add_argument("--weights", type=str, default="weights/vocoder_synthetic.npz",
+                    help=".npz checkpoint whose gru_a_mask supplies the "
+                         "realistic sparse pattern")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dss_tpu.vocoder import LPCNetModel
+    from dss_tpu.vocoder.net import FRAME_SIZE
+    from dss_tpu.ops.pallas.sampler import (sampler_frames_pallas,
+                                            tile_sparse_pattern)
+
+    print(f"backend: {jax.devices()[0].platform} ({jax.devices()[0]})")
+
+    model = LPCNetModel()
+    params = model.init(jax.random.PRNGKey(0))
+    try:
+        ck = dict(np.load(args.weights))
+        mask = ck["gru_a_mask"]
+        print(f"sparse mask from {args.weights}")
+    except (FileNotFoundError, KeyError):
+        rng = np.random.default_rng(7)
+        H, G = np.asarray(params["gru_a_mask"]).shape
+        keep = rng.random((H // 16, G // 128)) < 0.2
+        keep[0, :] = True
+        mask = np.repeat(np.repeat(keep.astype(np.float32), 16, 0), 128, 1)
+        print("sparse mask: random 20% tiles")
+    pattern, kept = tile_sparse_pattern(mask)
+    print(f"pattern kept={kept:.3f} rows/group={[len(r) for r in pattern]}")
+    params_sp = dict(params, gru_a_mask=jnp.asarray(mask, jnp.float32))
+
+    T, B = args.frames, args.batch
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.normal(size=(B, T, 128)) * 0.1, jnp.float32)
+    lpc = jnp.asarray(rng.normal(size=(B, T, 16)) * 0.01, jnp.float32)
+    temp = jnp.full((B, T, 1), 1.5, jnp.float32)
+    seeds = jnp.arange(T, dtype=jnp.int32)
+
+    def carry0():
+        return (jnp.zeros((B, model.gru_a_units), jnp.float32),
+                jnp.zeros((B, model.gru_b_units), jnp.float32),
+                jnp.zeros((B, 16), jnp.float32),
+                jnp.full((B,), 128, jnp.int32))
+
+    audio_s = B * T * FRAME_SIZE / 16000.0
+
+    VARIANTS = {
+        "dense-f32": dict(weight_dtype=jnp.float32, sparse=False),
+        "dense-bf16": dict(weight_dtype=jnp.bfloat16, sparse=False),
+        "sparse-bf16": dict(weight_dtype=jnp.bfloat16, sparse=True),
+        "sparse-f32": dict(weight_dtype=jnp.float32, sparse=True),
+        "dense-bf16-nofuse": dict(weight_dtype=jnp.bfloat16, sparse=False,
+                                  fuse_embed=False),
+        "sparse-bf16-nohoist": dict(weight_dtype=jnp.bfloat16, sparse=True,
+                                    hoist_noise=False),
+        "dense-bf16-nohoist": dict(weight_dtype=jnp.bfloat16, sparse=False,
+                                   hoist_noise=False),
+        # Mosaic fori_loop only supports unroll=1 or full unroll.
+        "sparse-bf16-unrollfull": dict(weight_dtype=jnp.bfloat16, sparse=True,
+                                       unroll=160),
+    }
+    names = [v for v in args.variants.split(",") if v] or \
+        ["dense-bf16", "sparse-bf16"]
+
+    results = {}
+    for name in names:
+        cfg = dict(VARIANTS[name])
+        sparse = cfg.pop("sparse")
+        p = params_sp if sparse else params
+        pat = pattern if sparse else None
+        kw = dict(frame_size=FRAME_SIZE, stochastic=True,
+                  sparse_pattern=pat, **cfg)
+
+        t0 = time.perf_counter()
+        c, sig = sampler_frames_pallas(model, p, carry0(), cond, lpc, temp,
+                                       seeds, **kw)
+        _sync(sig)
+        print(f"{name}: compile+run {time.perf_counter() - t0:.1f}s")
+
+        t_single = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            c, sig = sampler_frames_pallas(model, p, c, cond, lpc, temp,
+                                           seeds, **kw)
+            _sync(sig)
+            t_single = min(t_single, time.perf_counter() - t0)
+
+        t_chain = np.inf
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            for _ in range(args.chain):
+                c, sig = sampler_frames_pallas(model, p, c, cond, lpc, temp,
+                                               seeds, **kw)
+            _sync(sig)
+            t_chain = min(t_chain, time.perf_counter() - t0)
+
+        rtf_call = audio_s / t_single
+        rtf_dev = audio_s * (args.chain - 1) / max(t_chain - t_single, 1e-9)
+        us_per_sample = 1e6 * (t_chain - t_single) / (args.chain - 1) \
+            / (T * FRAME_SIZE)
+        results[name] = (rtf_call, rtf_dev, us_per_sample)
+        print(f"{name}: rtf_call={rtf_call:.1f}x rtf_device={rtf_dev:.1f}x "
+              f"({us_per_sample:.3f} us/sample)")
+
+    print("\n== summary ==")
+    for name, (rc, rd, us) in results.items():
+        print(f"{name:24s} {rd:7.1f}x device  {us:7.3f} us/sample")
+
+
+if __name__ == "__main__":
+    main()
