@@ -139,33 +139,52 @@ def _runs(rows):
     return out
 
 
-def _compact_sparse_wh(wh_masked: jnp.ndarray, pattern) -> jnp.ndarray:
-    """Concatenate kept [ROW_BLOCK, COL_BLOCK] tiles into one [R, COL_BLOCK]
-    slab (groups in order, each group's kept row blocks in order)."""
+def merge_pattern(pattern, factor: int):
+    """Merge ``factor`` adjacent COL_BLOCK groups of a tile keep-pattern
+    into one wide group whose row set is the union.
+
+    Wider groups trade extra VMEM streaming (union rows x wider slab,
+    zeros included) for FEWER serial ops in the latency-bound B=1 kernel:
+    one gather+dot per wide group instead of one per 128-lane group.
+    """
+    assert len(pattern) % factor == 0
+    return tuple(
+        tuple(sorted(set().union(*pattern[j * factor:(j + 1) * factor])))
+        for j in range(len(pattern) // factor)
+    )
+
+
+def _compact_sparse_wh(wh_masked: jnp.ndarray, pattern,
+                       group_lanes: int = COL_BLOCK) -> jnp.ndarray:
+    """Concatenate kept [ROW_BLOCK, group_lanes] tiles into one
+    [R, group_lanes] slab (groups in order, each group's kept row blocks in
+    order).  ``pattern`` must already be merged to ``group_lanes`` width."""
     slabs = []
     for j, rows in enumerate(pattern):
         for i in rows:
             slabs.append(wh_masked[i * ROW_BLOCK:(i + 1) * ROW_BLOCK,
-                                   j * COL_BLOCK:(j + 1) * COL_BLOCK])
+                                   j * group_lanes:(j + 1) * group_lanes])
     if not slabs:  # fully pruned (degenerate); keep a zero row for shape
-        return jnp.zeros((ROW_BLOCK, COL_BLOCK), wh_masked.dtype)
+        return jnp.zeros((ROW_BLOCK, group_lanes), wh_masked.dtype)
     return jnp.concatenate(slabs, axis=0)
 
 
-def _gru_pre_sparse(gx, h, wh_sp_ref, bh, units, pattern, batch):
+def _gru_pre_sparse(gx, h, wh_sp_ref, bh, units, pattern, batch,
+                    group_lanes: int = COL_BLOCK):
     """GRU update with the recurrent matmul restricted to kept tiles.
 
     Streams only ``kept_fraction`` of the recurrent weights from VMEM: for
-    each 128-wide gate column group, the contributing 16-row blocks of h
-    are gathered (static lane slices) and hit one [B, 16k] x [16k, 128]
-    matmul against the compacted slab.
+    each ``group_lanes``-wide gate column group, the contributing 16-row
+    blocks of h are gathered (static lane slices, contiguous runs
+    coalesced) and hit one [B, 16k] x [16k, group_lanes] matmul against the
+    compacted slab.
     """
     wdt = wh_sp_ref.dtype
     outs = []
     off = 0
     for j, rows in enumerate(pattern):
         if not rows:
-            outs.append(jnp.zeros((batch, COL_BLOCK), jnp.float32))
+            outs.append(jnp.zeros((batch, group_lanes), jnp.float32))
             continue
         segs = [h[:, s * ROW_BLOCK:(s + n) * ROW_BLOCK]
                 for s, n in _runs(rows)]
@@ -175,7 +194,8 @@ def _gru_pre_sparse(gx, h, wh_sp_ref, bh, units, pattern, batch):
         outs.append(jnp.dot(hg, wh_sp_ref[pl.ds(off, k), :],
                             preferred_element_type=jnp.float32))
         off += k
-    gh = jnp.concatenate(outs, axis=1) + bh
+    gh = (outs[0] if len(outs) == 1
+          else jnp.concatenate(outs, axis=1)) + bh
     r = jax.nn.sigmoid(gx[:, :units] + gh[:, :units])
     z = jax.nn.sigmoid(gx[:, units:2 * units] + gh[:, units:2 * units])
     n = jnp.tanh(gx[:, 2 * units:] + r * gh[:, 2 * units:])
@@ -197,7 +217,7 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                  cond_dim: int, embed_dim: int, batch: int,
                  stochastic: bool = True, sparse_pattern=None,
                  fuse_embed: bool = False, hoist_noise: bool = False,
-                 unroll: int = 1):
+                 unroll: int = 1, sparse_group_lanes: int = COL_BLOCK):
     def kernel(
         # frame-rate inputs (one frame per grid step)
         cond_ref, lpc_ref, temp_ref, seed_ref,
@@ -308,7 +328,8 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
             if sparse_pattern is not None:
                 h_a = _gru_pre_sparse(gx_a, h_a_s[...], gru_a_wh_ref,
                                       gru_a_bh_ref[...], gru_a,
-                                      sparse_pattern, batch)
+                                      sparse_pattern, batch,
+                                      group_lanes=sparse_group_lanes)
             else:
                 h_a = _gru_pre(gx_a, h_a_s[...], gru_a_wh_ref[...],
                                gru_a_bh_ref[...], gru_a)
@@ -383,12 +404,13 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
 
 @partial(jax.jit, static_argnames=("frame_size", "stochastic",
                                    "weight_dtype", "sparse_pattern",
-                                   "fuse_embed", "hoist_noise", "unroll"))
+                                   "fuse_embed", "hoist_noise", "unroll",
+                                   "sparse_group_lanes"))
 def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
                   exc0, frame_size: int, stochastic: bool = True,
                   weight_dtype=jnp.bfloat16, sparse_pattern=None,
                   fuse_embed: bool = False, hoist_noise: bool = False,
-                  unroll: int = 1):
+                  unroll: int = 1, sparse_group_lanes: int = COL_BLOCK):
     """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T] int32."""
     T, B, cd = cond.shape
     lpc_order = lpc.shape[-1]
@@ -396,11 +418,19 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
     gru_b = h_b0.shape[-1]
     embed_dim = weights["emb_sig"].shape[-1]
 
+    if sparse_pattern is not None and sparse_group_lanes != COL_BLOCK:
+        # Widen column groups: unions of kept rows, fewer serial gather+dot
+        # ops per sample at the cost of streaming the zeros inside union
+        # rows.  The slab compaction below uses the SAME merged pattern.
+        sparse_pattern = merge_pattern(sparse_pattern,
+                                       sparse_group_lanes // COL_BLOCK)
+
     kernel = _make_kernel(frame_size, lpc_order, gru_a, gru_b, cd,
                           embed_dim, B, stochastic=stochastic,
                           sparse_pattern=sparse_pattern,
                           fuse_embed=fuse_embed, hoist_noise=hoist_noise,
-                          unroll=unroll)
+                          unroll=unroll,
+                          sparse_group_lanes=sparse_group_lanes)
 
     def frame_spec(shape):
         return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
@@ -447,7 +477,8 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
             w = w * weights["gru_a_mask"]
             if sparse_pattern is not None:
                 # Only the kept tiles ship to (and stream from) VMEM.
-                w = _compact_sparse_wh(w, sparse_pattern)
+                w = _compact_sparse_wh(w, sparse_pattern,
+                                       group_lanes=sparse_group_lanes)
         if w.ndim == 1:
             w = w[None, :]  # biases as [1, n] rows for clean broadcasting
         dtype = weight_dtype if k in matrix_keys else jnp.float32
@@ -501,7 +532,8 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
                           temperature, seeds, frame_size: int = 160,
                           stochastic: bool = True, weight_dtype=None,
                           sparse_pattern=None, fuse_embed=None,
-                          hoist_noise=None, unroll: int = 1):
+                          hoist_noise=None, unroll: int = 1,
+                          sparse_group_lanes=None):
     """Synthesize T frames with the Pallas sampler.
 
     carry: (h_a [B,ga], h_b [B,gb], sig_mem [B,16], exc_idx [B]).
@@ -531,6 +563,13 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
         hoist_noise = False
     hoist_noise = bool(hoist_noise and stochastic and cond_all.shape[0] == 1
                        and frame_size % 8 == 0)
+    if sparse_group_lanes is None:
+        # Per-GATE column groups (width = gru_a units) measured fastest on
+        # v5e with the shipped 20% mask (57.8x vs 56.4x at 128 lanes): one
+        # gather+dot per gate instead of per 128-lane group, at a modest
+        # extra streaming cost for the union rows' zeros.
+        ga = h_a.shape[-1]
+        sparse_group_lanes = ga if ga % COL_BLOCK == 0 else COL_BLOCK
     cond = jnp.moveaxis(jnp.asarray(cond_all, jnp.float32), 1, 0)
     lpc = jnp.moveaxis(jnp.asarray(lpc_all, jnp.float32), 1, 0)
     temp = jnp.moveaxis(jnp.asarray(temperature, jnp.float32), 1, 0)
@@ -542,7 +581,7 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
         frame_size=frame_size, stochastic=stochastic,
         weight_dtype=weight_dtype, sparse_pattern=sparse_pattern,
         fuse_embed=bool(fuse_embed), hoist_noise=bool(hoist_noise),
-        unroll=unroll,
+        unroll=unroll, sparse_group_lanes=sparse_group_lanes,
     )
     T, F, B = sig.shape
     sig = jnp.moveaxis(sig.reshape(T * F, B), 0, 1)

@@ -92,6 +92,11 @@ def main():
         # Mosaic fori_loop only supports unroll=1 or full unroll.
         "sparse-bf16-unrollfull": dict(weight_dtype=jnp.bfloat16, sparse=True,
                                        unroll=160),
+        # Wider sparse column groups: fewer serial ops, more streaming.
+        "sparse-bf16-gate": dict(weight_dtype=jnp.bfloat16, sparse=True,
+                                 sparse_group_lanes=384),
+        "sparse-bf16-union": dict(weight_dtype=jnp.bfloat16, sparse=True,
+                                  sparse_group_lanes=1152),
     }
     names = [v for v in args.variants.split(",") if v] or \
         ["dense-bf16", "sparse-bf16"]
