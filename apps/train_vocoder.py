@@ -61,6 +61,12 @@ def main() -> None:
     parser.add_argument("--density", type=float, default=0.2,
                         help="Final GRU-A recurrent density after pruning.")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bunch", type=int, default=1,
+                        help="Samples per sample-rate-network step "
+                             "(Bunched-LPCNet-style; ~S-fold faster "
+                             "synthesis at a small quality cost). The "
+                             "factor is baked into the checkpoint and "
+                             "picked up automatically at load time.")
     parser.add_argument("--val-wav", default=None,
                         help="Held-out 16 kHz wav: every --score-every "
                              "epochs, run a FREE-RUNNING encode->synthesize "
@@ -86,7 +92,7 @@ def main() -> None:
     feats, sigs = load_corpus(Path(args.wav_dir), args.chunk_frames)
     logger.info(f"Corpus: {len(feats)} chunks of {args.chunk_frames} frames")
 
-    model = LPCNetModel()
+    model = LPCNetModel(bunch=args.bunch)
     trainer = VocoderTrainer(model, learning_rate=args.lr)
     key = jax.random.PRNGKey(args.seed)
     key, ik = jax.random.split(key)

@@ -217,7 +217,8 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                  cond_dim: int, embed_dim: int, batch: int,
                  stochastic: bool = True, sparse_pattern=None,
                  fuse_embed: bool = False, hoist_noise: bool = False,
-                 unroll: int = 1, sparse_group_lanes: int = COL_BLOCK):
+                 unroll: int = 1, sparse_group_lanes: int = COL_BLOCK,
+                 ablate: frozenset = frozenset()):
     def kernel(
         # frame-rate inputs (one frame per grid step)
         cond_ref, lpc_ref, temp_ref, seed_ref,
@@ -282,19 +283,39 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
         # Loop-invariant vectors, hoisted off the per-sample serial chain.
         lanes = jax.lax.broadcasted_iota(jnp.int32, (batch, MULAW_LEVELS), 1)
         iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+        # Column iota for the tie-free argmax dot (stochastic path).
+        lanes_col = jax.lax.broadcasted_iota(
+            jnp.int32, (MULAW_LEVELS, 1), 0).astype(jnp.float32)
+        # LPC taps as an MXU column: at B=1 a [1,16]x[16,1] dot beats the
+        # VPU cross-lane reduce (log-depth shuffle chain) for the
+        # prediction.  Transposed once per frame, off the sample chain.
+        lpc_col = lpc.reshape(lpc_order, 1) if batch == 1 else None
 
         def step(i, _):
             sig_mem = sig_mem_s[...]
-            pred = -jnp.sum(sig_mem * lpc, axis=1, keepdims=True)  # [B,1]
+            if "pred" in ablate:
+                pred = sig_mem[:, :1]
+            elif batch == 1:
+                pred = -jnp.dot(sig_mem, lpc_col,
+                                preferred_element_type=jnp.float32)  # [1,1]
+            else:
+                pred = -jnp.sum(sig_mem * lpc, axis=1, keepdims=True)  # [B,1]
 
             wdt = emb_sig_ref.dtype
             # NB: keep these two encodes SEPARATE — fusing them via a
             # [B,2] concat measured slower (the concat serializes two
             # otherwise-overlappable transcendental chains).
-            sig_idx = _mulaw_encode(sig_mem[:, :1])  # [B,1] int32
-            pred_idx = _mulaw_encode(pred)           # [B,1]
+            if "encode" in ablate:
+                sig_idx = (sig_mem[:, :1] > 0).astype(jnp.int32)
+                pred_idx = (pred > 0).astype(jnp.int32)
+            else:
+                sig_idx = _mulaw_encode(sig_mem[:, :1])  # [B,1] int32
+                pred_idx = _mulaw_encode(pred)           # [B,1]
 
-            if fuse_embed:
+            if "gather" in ablate:
+                gx_a = gx_a_cond + (sig_idx + pred_idx
+                                    + exc_s[...]).astype(jnp.float32)
+            elif fuse_embed:
                 # Row gathers from the fused [256, 3*gru_a] tables: streams
                 # 3 rows/sample instead of the three embedding tables plus
                 # gru_a_wx's embedding rows (the per-sample bandwidth hog
@@ -325,7 +346,9 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                 gx_a = jnp.dot(x_emb.astype(gru_a_wx_ref.dtype),
                                gru_a_wx_ref[pl.ds(0, emb_rows), :],
                                preferred_element_type=jnp.float32) + gx_a_cond
-            if sparse_pattern is not None:
+            if "grua" in ablate:
+                h_a = jnp.tanh(gx_a[:, :gru_a])
+            elif sparse_pattern is not None:
                 h_a = _gru_pre_sparse(gx_a, h_a_s[...], gru_a_wh_ref,
                                       gru_a_bh_ref[...], gru_a,
                                       sparse_pattern, batch,
@@ -338,22 +361,28 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
             gx_b = jnp.dot(h_a.astype(gru_b_wx_ref.dtype),
                            gru_b_wx_ref[pl.ds(0, gru_a), :],
                            preferred_element_type=jnp.float32) + gx_b_cond
-            h_b = _gru_pre(gx_b, h_b_s[...], gru_b_wh_ref[...],
-                           gru_b_bh_ref[...], gru_b)
+            if "grub" in ablate:
+                h_b = jnp.tanh(gx_b[:, :gru_b])
+            else:
+                h_b = _gru_pre(gx_b, h_b_s[...], gru_b_wh_ref[...],
+                               gru_b_bh_ref[...], gru_b)
             h_b_s[...] = h_b
 
             # The dual output heads ride ONE MXU dispatch: out1_w_ref holds
             # [gb, 2*256] = concat(out1_w, out2_w) and out1_g_ref the
             # matching [1, 2*256] gains; the kernel is latency-bound on its
             # serial op chain, so fewer dispatches beat smaller ones.
-            h_b_w = h_b.astype(out1_w_ref.dtype)
-            t12 = jnp.tanh(jnp.dot(h_b_w, out1_w_ref[...],
-                                   preferred_element_type=jnp.float32)) \
-                * out1_g_ref[...]
-            logits = (t12[:, :MULAW_LEVELS] + t12[:, MULAW_LEVELS:]
-                      + out_b_ref[...])
+            if "head" in ablate:
+                logits = h_b[:, :1] + out_b_ref[...]
+            else:
+                h_b_w = h_b.astype(out1_w_ref.dtype)
+                t12 = jnp.tanh(jnp.dot(h_b_w, out1_w_ref[...],
+                                       preferred_element_type=jnp.float32)) \
+                    * out1_g_ref[...]
+                logits = (t12[:, :MULAW_LEVELS] + t12[:, MULAW_LEVELS:]
+                          + out_b_ref[...])
 
-            if stochastic:
+            if stochastic and "noise" not in ablate:
                 if hoist_noise:
                     base = (i // 8) * 8
                     blk = gumbel_s[pl.ds(base, 8), :]          # [8, 256]
@@ -374,19 +403,39 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
             else:
                 scores = logits
 
-            m = jnp.max(scores, axis=1, keepdims=True)
-            new_exc = jnp.min(
-                jnp.where(scores >= m, lanes, MULAW_LEVELS), axis=1,
-                keepdims=True,
-            ).astype(jnp.int32)
+            if "argmax" in ablate:
+                new_exc = (scores[:, :1] > 0).astype(jnp.int32)
+            elif stochastic and batch == 1:
+                # Tie-free argmax: with continuous Gumbel noise the maximum
+                # is unique (measure zero otherwise), so ONE cross-lane max
+                # + an MXU dot of the 0/1 mask against the lane iota
+                # replaces the second (min) cross-lane reduction.  Clamp
+                # guards the measure-zero tie case (sum of tied indices).
+                m = jnp.max(scores, axis=1, keepdims=True)
+                hit = (scores >= m).astype(jnp.float32)
+                new_exc = jnp.minimum(
+                    jnp.dot(hit, lanes_col,
+                            preferred_element_type=jnp.float32),
+                    float(MULAW_LEVELS - 1),
+                ).astype(jnp.int32)
+            else:
+                m = jnp.max(scores, axis=1, keepdims=True)
+                new_exc = jnp.min(
+                    jnp.where(scores >= m, lanes, MULAW_LEVELS), axis=1,
+                    keepdims=True,
+                ).astype(jnp.int32)
             exc_s[...] = new_exc
 
-            e = _mulaw_decode(new_exc)
+            if "decode" in ablate:
+                e = new_exc.astype(jnp.float32) * (1.0 / 128.0)
+            else:
+                e = _mulaw_decode(new_exc)
             sample = jnp.clip(pred + e, -1.0, 1.0)  # [B,1]
             sig_mem_s[...] = jnp.concatenate(
                 [sample, sig_mem[:, :-1]], axis=1
             )
-            sig_out_ref[0, i, :] = sample[:, 0]
+            if "store" not in ablate:
+                sig_out_ref[0, i, :] = sample[:, 0]
             return 0
 
         if unroll > 1:
@@ -405,12 +454,13 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
 @partial(jax.jit, static_argnames=("frame_size", "stochastic",
                                    "weight_dtype", "sparse_pattern",
                                    "fuse_embed", "hoist_noise", "unroll",
-                                   "sparse_group_lanes"))
+                                   "sparse_group_lanes", "ablate"))
 def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
                   exc0, frame_size: int, stochastic: bool = True,
                   weight_dtype=jnp.bfloat16, sparse_pattern=None,
                   fuse_embed: bool = False, hoist_noise: bool = False,
-                  unroll: int = 1, sparse_group_lanes: int = COL_BLOCK):
+                  unroll: int = 1, sparse_group_lanes: int = COL_BLOCK,
+                 ablate: frozenset = frozenset()):
     """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T] int32."""
     T, B, cd = cond.shape
     lpc_order = lpc.shape[-1]
@@ -430,7 +480,8 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
                           sparse_pattern=sparse_pattern,
                           fuse_embed=fuse_embed, hoist_noise=hoist_noise,
                           unroll=unroll,
-                          sparse_group_lanes=sparse_group_lanes)
+                          sparse_group_lanes=sparse_group_lanes,
+                          ablate=ablate)
 
     def frame_spec(shape):
         return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
@@ -533,7 +584,8 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
                           stochastic: bool = True, weight_dtype=None,
                           sparse_pattern=None, fuse_embed=None,
                           hoist_noise=None, unroll: int = 1,
-                          sparse_group_lanes=None):
+                          sparse_group_lanes=None,
+                          ablate: str = ""):
     """Synthesize T frames with the Pallas sampler.
 
     carry: (h_a [B,ga], h_b [B,gb], sig_mem [B,16], exc_idx [B]).
@@ -582,7 +634,347 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
         weight_dtype=weight_dtype, sparse_pattern=sparse_pattern,
         fuse_embed=bool(fuse_embed), hoist_noise=bool(hoist_noise),
         unroll=unroll, sparse_group_lanes=sparse_group_lanes,
+        ablate=frozenset(a for a in ablate.split(",") if a),
     )
     T, F, B = sig.shape
     sig = jnp.moveaxis(sig.reshape(T * F, B), 0, 1)
     return (h_a, h_b, sig_mem, exc[:, 0]), sig
+
+
+# ---------------------------------------------------------------------------
+# Bunched sampler: S samples per sample-rate-network step (B=1 latency path).
+# The GRU-A/GRU-B recurrence runs at 16 kHz / S; per bunch one fused output
+# dot yields all S dual-FC heads, and sub-samples j >= 1 add row-gathered
+# [256, 256] correction embeddings of (previous intra-bunch excitation, own
+# LPC prediction).  Mirrors LPCNetModel.bunch_step (vocoder/net.py).
+# ---------------------------------------------------------------------------
+
+
+def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
+                         gru_b: int, cond_dim: int, embed_dim: int,
+                         bunch: int, stochastic: bool = True,
+                         sparse_pattern=None,
+                         sparse_group_lanes: int = COL_BLOCK):
+    S = bunch
+    n_emb = 2 * S + 1
+    steps = frame_size // S
+
+    def kernel(*refs):
+        it = iter(refs)
+        cond_ref = next(it); lpc_ref = next(it)
+        temp_ref = next(it); seed_ref = next(it)
+        emb_refs = [next(it) for _ in range(n_emb)]
+        gru_a_wx_ref = next(it); gru_a_wh_ref = next(it)
+        gru_a_bx_ref = next(it); gru_a_bh_ref = next(it)
+        gru_b_wx_ref = next(it); gru_b_wh_ref = next(it)
+        gru_b_bx_ref = next(it); gru_b_bh_ref = next(it)
+        out_w_ref = next(it); out_g_ref = next(it); out_b_ref = next(it)
+        corr_refs = [(next(it), next(it)) for _ in range(S - 1)]
+        h_a0_ref = next(it); h_b0_ref = next(it)
+        sig_mem0_ref = next(it); exc0_ref = next(it)
+        sig_out_ref = next(it); h_a_out_ref = next(it); h_b_out_ref = next(it)
+        sig_mem_out_ref = next(it); exc_out_ref = next(it)
+        h_a_s = next(it); h_b_s = next(it); sig_mem_s = next(it)
+        exc_s = next(it)
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            h_a_s[...] = h_a0_ref[...]
+            h_b_s[...] = h_b0_ref[...]
+            sig_mem_s[...] = sig_mem0_ref[...]
+            exc_s[...] = exc0_ref[...]
+
+        if stochastic:
+            pltpu.prng_seed(seed_ref[pl.program_id(0)])
+
+        cond = cond_ref[0]          # [1, cond_dim]
+        lpc = lpc_ref[0]            # [1, lpc_order]
+        temp = temp_ref[0]          # [1, 1]
+        greedy = temp[0, 0] < 0.0
+
+        emb_rows = n_emb * embed_dim
+        cond_w = cond.astype(gru_a_wx_ref.dtype)
+        gx_a_cond = jnp.dot(cond_w, gru_a_wx_ref[pl.ds(emb_rows, cond_dim), :],
+                            preferred_element_type=jnp.float32) \
+            + gru_a_bx_ref[...]
+        gx_b_cond = jnp.dot(cond_w, gru_b_wx_ref[pl.ds(gru_a, cond_dim), :],
+                            preferred_element_type=jnp.float32) \
+            + gru_b_bx_ref[...]
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, MULAW_LEVELS), 1)
+        lanes_col = jax.lax.broadcasted_iota(
+            jnp.int32, (MULAW_LEVELS, 1), 0).astype(jnp.float32)
+        lpc_col = lpc.reshape(lpc_order, 1)
+
+        def sample_from(scores):
+            if stochastic:
+                m = jnp.max(scores, axis=1, keepdims=True)
+                hit = (scores >= m).astype(jnp.float32)
+                return jnp.minimum(
+                    jnp.dot(hit, lanes_col,
+                            preferred_element_type=jnp.float32),
+                    float(MULAW_LEVELS - 1),
+                ).astype(jnp.int32)
+            m = jnp.max(scores, axis=1, keepdims=True)
+            return jnp.min(
+                jnp.where(scores >= m, lanes, MULAW_LEVELS), axis=1,
+                keepdims=True,
+            ).astype(jnp.int32)
+
+        def add_noise(logits):
+            if not stochastic:
+                return logits
+            bits = pltpu.prng_random_bits((1, MULAW_LEVELS))
+            bits24 = pltpu.bitcast(
+                pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
+            )
+            u = bits24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
+            gumbel = -jnp.log(-jnp.log(u))
+            return jnp.where(greedy, logits, logits * temp + gumbel)
+
+        def step(i, _):
+            sig_mem = sig_mem_s[...]
+            pred = -jnp.dot(sig_mem, lpc_col,
+                            preferred_element_type=jnp.float32)  # [1,1]
+
+            # One vector encode covers all S signal lags (contiguous in
+            # sig_mem); the prediction encode stays separate (independent
+            # chain).
+            sig_idx = _mulaw_encode(sig_mem[:, :S])   # [1,S] int32
+            pred_idx = _mulaw_encode(pred)            # [1,1]
+
+            entries = [(emb_refs[j], sig_idx[0, j]) for j in range(S)]
+            entries.append((emb_refs[S], pred_idx[0, 0]))
+            entries += [(emb_refs[S + 1 + j], exc_s[0, j]) for j in range(S)]
+            gx_a = _gather_rows_sum(tuple(entries)) + gx_a_cond
+
+            if sparse_pattern is not None:
+                h_a = _gru_pre_sparse(gx_a, h_a_s[...], gru_a_wh_ref,
+                                      gru_a_bh_ref[...], gru_a,
+                                      sparse_pattern, 1,
+                                      group_lanes=sparse_group_lanes)
+            else:
+                h_a = _gru_pre(gx_a, h_a_s[...], gru_a_wh_ref[...],
+                               gru_a_bh_ref[...], gru_a)
+            h_a_s[...] = h_a
+
+            gx_b = jnp.dot(h_a.astype(gru_b_wx_ref.dtype),
+                           gru_b_wx_ref[pl.ds(0, gru_a), :],
+                           preferred_element_type=jnp.float32) + gx_b_cond
+            h_b = _gru_pre(gx_b, h_b_s[...], gru_b_wh_ref[...],
+                           gru_b_bh_ref[...], gru_b)
+            h_b_s[...] = h_b
+
+            # ALL S dual-FC heads in one MXU dispatch: out_w is
+            # [gb, S*2*256], gains match; head j occupies lanes
+            # [j*512, (j+1)*512).
+            h_b_w = h_b.astype(out_w_ref.dtype)
+            t_all = jnp.tanh(jnp.dot(h_b_w, out_w_ref[...],
+                                     preferred_element_type=jnp.float32)) \
+                * out_g_ref[...]
+
+            excs = []
+            p = pred
+            p_idx = pred_idx
+            for j in range(S):
+                base = j * 2 * MULAW_LEVELS
+                logits = (t_all[:, base:base + MULAW_LEVELS]
+                          + t_all[:, base + MULAW_LEVELS:base
+                                  + 2 * MULAW_LEVELS]
+                          + out_b_ref[:, j * MULAW_LEVELS:
+                                      (j + 1) * MULAW_LEVELS])
+                if j > 0:
+                    ce_ref, cp_ref = corr_refs[j - 1]
+                    logits = logits + _gather_rows_sum((
+                        (ce_ref, excs[-1][0, 0]),
+                        (cp_ref, p_idx[0, 0]),
+                    ))
+                new_exc = sample_from(add_noise(logits))
+                excs.append(new_exc)
+                e = _mulaw_decode(new_exc)
+                sample = jnp.clip(p + e, -1.0, 1.0)  # [1,1]
+                sig_mem = jnp.concatenate([sample, sig_mem[:, :-1]], axis=1)
+                sig_out_ref[0, i * S + j, :] = sample[:, 0]
+                if j + 1 < S:
+                    p = -jnp.dot(sig_mem, lpc_col,
+                                 preferred_element_type=jnp.float32)
+                    p_idx = _mulaw_encode(p)
+            sig_mem_s[...] = sig_mem
+            exc_s[...] = (excs[0] if S == 1
+                          else jnp.concatenate(excs[::-1], axis=1))
+            return 0
+
+        jax.lax.fori_loop(0, steps, step, 0)
+
+        h_a_out_ref[...] = h_a_s[...]
+        h_b_out_ref[...] = h_b_s[...]
+        sig_mem_out_ref[...] = sig_mem_s[...]
+        exc_out_ref[...] = exc_s[...]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("frame_size", "stochastic",
+                                   "weight_dtype", "sparse_pattern",
+                                   "sparse_group_lanes", "bunch"))
+def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
+                          sig_mem0, exc0, frame_size: int, bunch: int,
+                          stochastic: bool = True,
+                          weight_dtype=jnp.bfloat16, sparse_pattern=None,
+                          sparse_group_lanes: int = COL_BLOCK):
+    """cond [T,1,cd], lpc [T,1,16], temp [T,1,1], seeds [T]; exc0 [1,S]."""
+    T, B, cd = cond.shape
+    assert B == 1, "bunched kernel is the single-stream latency path"
+    S = bunch
+    lpc_order = lpc.shape[-1]
+    gru_a = h_a0.shape[-1]
+    gru_b = h_b0.shape[-1]
+    embed_dim = weights["emb_sig"].shape[-1]
+    n_emb = 2 * S + 1
+
+    if sparse_pattern is not None and sparse_group_lanes != COL_BLOCK:
+        sparse_pattern = merge_pattern(sparse_pattern,
+                                       sparse_group_lanes // COL_BLOCK)
+
+    kernel = _make_bunched_kernel(frame_size, lpc_order, gru_a, gru_b, cd,
+                                  embed_dim, S, stochastic=stochastic,
+                                  sparse_pattern=sparse_pattern,
+                                  sparse_group_lanes=sparse_group_lanes)
+
+    def frame_spec(shape):
+        return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def full(x):
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    # Embedding tables pre-fused with their gru_a_wx row band, in x_a
+    # layout order: sig lags 0..S-1, pred, exc lags 0..S-1.
+    emb_names = (["emb_sig"]
+                 + [f"emb_sig_l{j}" for j in range(1, S)]
+                 + ["emb_pred", "emb_exc"]
+                 + [f"emb_exc_l{j}" for j in range(1, S)])
+    wx = jnp.asarray(weights["gru_a_wx"], jnp.float32)
+    weight_vals = []
+    matrix = []
+    for n, key in enumerate(emb_names):
+        emb = jnp.asarray(weights[key], jnp.float32)
+        weight_vals.append(emb @ wx[n * embed_dim:(n + 1) * embed_dim, :])
+        matrix.append(True)
+
+    wh = jnp.asarray(weights["gru_a_wh"], jnp.float32) \
+        * jnp.asarray(weights["gru_a_mask"], jnp.float32)
+    if sparse_pattern is not None:
+        wh = _compact_sparse_wh(wh, sparse_pattern,
+                                group_lanes=sparse_group_lanes)
+    for w, m in ((weights["gru_a_wx"], True), (wh, True),
+                 (weights["gru_a_bx"], False), (weights["gru_a_bh"], False),
+                 (weights["gru_b_wx"], True), (weights["gru_b_wh"], True),
+                 (weights["gru_b_bx"], False), (weights["gru_b_bh"], False)):
+        weight_vals.append(jnp.asarray(w, jnp.float32))
+        matrix.append(m)
+
+    # Heads: per-sub-sample dual FCs fused into one [gb, S*2*256] matrix.
+    ws, gs, bs = [], [], []
+    for j in range(S):
+        sfx = "" if j == 0 else f"_b{j}"
+        ws += [jnp.asarray(weights[f"fc_out1_w{sfx}"], jnp.float32),
+               jnp.asarray(weights[f"fc_out2_w{sfx}"], jnp.float32)]
+        gs += [jnp.asarray(weights[f"fc_out1_g{sfx}"], jnp.float32),
+               jnp.asarray(weights[f"fc_out2_g{sfx}"], jnp.float32)]
+        bs.append(jnp.asarray(weights[f"fc_out_b{sfx}"], jnp.float32))
+    weight_vals += [jnp.concatenate(ws, axis=1),
+                    jnp.concatenate(gs, axis=-1),
+                    jnp.concatenate(bs, axis=-1)]
+    matrix += [True, False, False]
+
+    for j in range(1, S):
+        weight_vals.append(jnp.asarray(weights[f"bunch_exc_emb_b{j}"],
+                                       jnp.float32))
+        matrix.append(True)
+        weight_vals.append(jnp.asarray(weights[f"bunch_pred_emb_b{j}"],
+                                       jnp.float32))
+        matrix.append(True)
+
+    for k in range(len(weight_vals)):
+        w = weight_vals[k]
+        if w.ndim == 1:
+            w = w[None, :]
+        weight_vals[k] = jnp.asarray(
+            w, weight_dtype if matrix[k] else jnp.float32)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, frame_size, B), jnp.float32),
+        jax.ShapeDtypeStruct((B, gru_a), jnp.float32),
+        jax.ShapeDtypeStruct((B, gru_b), jnp.float32),
+        jax.ShapeDtypeStruct((B, lpc_order), jnp.float32),
+        jax.ShapeDtypeStruct((B, S), jnp.int32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, frame_size, B), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, gru_a), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, gru_b), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, lpc_order), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    )
+    in_specs = (
+        [frame_spec((B, cd)), frame_spec((B, lpc_order)), frame_spec((B, 1)),
+         pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [full(w) for w in weight_vals]
+        + [full(h_a0), full(h_b0), full(sig_mem0),
+           pl.BlockSpec(memory_space=pltpu.VMEM)]
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((B, gru_a), jnp.float32),
+            pltpu.VMEM((B, gru_b), jnp.float32),
+            pltpu.VMEM((B, lpc_order), jnp.float32),
+            pltpu.VMEM((B, S), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_INTERPRET,
+    )(cond, lpc, temp, seeds, *weight_vals, h_a0, h_b0, sig_mem0, exc0)
+
+
+def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
+                                  temperature, seeds, frame_size: int = 160,
+                                  stochastic: bool = True, weight_dtype=None,
+                                  sparse_pattern=None,
+                                  sparse_group_lanes=None):
+    """Bunched-model synthesis of T frames (B=1).
+
+    carry: (h_a [1,ga], h_b [1,gb], sig_mem [1,16], exc_hist [1,S]).
+    Returns ((h_a, h_b, sig_mem, exc_hist), sig [1, T*frame_size]).
+    """
+    S = model.bunch
+    h_a, h_b, sig_mem, exc_hist = carry
+    if weight_dtype is None:
+        weight_dtype = jnp.bfloat16
+    if sparse_group_lanes is None:
+        ga = h_a.shape[-1]
+        sparse_group_lanes = ga if ga % COL_BLOCK == 0 else COL_BLOCK
+    cond = jnp.moveaxis(jnp.asarray(cond_all, jnp.float32), 1, 0)
+    lpc = jnp.moveaxis(jnp.asarray(lpc_all, jnp.float32), 1, 0)
+    temp = jnp.moveaxis(jnp.asarray(temperature, jnp.float32), 1, 0)
+    sig, h_a, h_b, sig_mem, exc = _bunched_sampler_call(
+        cond, lpc, temp, jnp.asarray(seeds, jnp.int32), params,
+        jnp.asarray(h_a, jnp.float32), jnp.asarray(h_b, jnp.float32),
+        jnp.asarray(sig_mem, jnp.float32),
+        jnp.asarray(exc_hist, jnp.int32).reshape(1, S),
+        frame_size=frame_size, bunch=S, stochastic=stochastic,
+        weight_dtype=weight_dtype, sparse_pattern=sparse_pattern,
+        sparse_group_lanes=sparse_group_lanes,
+    )
+    T, F, B = sig.shape
+    sig = jnp.moveaxis(sig.reshape(T * F, B), 0, 1)
+    return (h_a, h_b, sig_mem, exc), sig

@@ -786,8 +786,11 @@ class FusedDecoderVocoder(Unit):
             from ..vocoder.net import LPCNetModel, net_synthesize_frames, \
                 net_vocoder_init
 
-            self._voc_model = LPCNetModel()
             self._voc_params = _load_params(s.vocoder_weights)
+            # Architecture (incl. the bunch factor) rides in the checkpoint.
+            self._voc_model = (LPCNetModel.from_params(self._voc_params)
+                               if self._voc_params is not None
+                               else LPCNetModel())
             if self._voc_params is None:
                 self._voc_params = self._voc_model.init(jax.random.PRNGKey(0))
             use_pallas = jax.default_backend() != "cpu"

@@ -107,13 +107,40 @@ class VocoderTrainer:
                                     MULAW_LEVELS - 1)
         pred_idx = mulaw_encode(pred)
 
-        # Hoist all input projections out of the GRU scans.
-        x_a = jnp.concatenate([
-            params["emb_sig"][prev_sig_idx],
-            params["emb_pred"][pred_idx],
-            params["emb_exc"][prev_exc],
-            cond_up,
-        ], axis=-1)                                                  # [B,S,in]
+        # Hoist all input projections out of the GRU scans.  At bunch=K the
+        # recurrence runs at 16 kHz / K: GRU inputs are gathered at bunch
+        # starts (teacher-forced lags of the previous K samples/excitations)
+        # and each sub-sample j gets its own output head on the shared h_b.
+        K = self.model.bunch
+        if K > 1:
+            starts = jnp.arange(0, S, K)
+            parts = [params["emb_sig"][prev_sig_idx[:, starts]]]
+            for j in range(1, K):
+                # lag j at bunch start t: signal[t-1-j] == sig_hist[:, t, j]
+                lag_idx = mulaw_encode(sig_hist[:, starts, j])
+                if self.noise_level > 0:
+                    rng, nk = jax.random.split(rng)
+                    noise = jax.random.randint(
+                        nk, lag_idx.shape, -self.noise_level,
+                        self.noise_level + 1)
+                    lag_idx = jnp.clip(lag_idx + noise, 0, MULAW_LEVELS - 1)
+                parts.append(params[f"emb_sig_l{j}"][lag_idx])
+            parts.append(params["emb_pred"][pred_idx[:, starts]])
+            parts.append(params["emb_exc"][prev_exc[:, starts]])
+            for j in range(1, K):
+                lag_exc = jnp.pad(exc_idx, ((0, 0), (j + 1, 0)),
+                                  constant_values=MULAW_LEVELS // 2)[:, :S]
+                parts.append(params[f"emb_exc_l{j}"][lag_exc[:, starts]])
+            parts.append(cond_up[:, starts])
+            x_a = jnp.concatenate(parts, axis=-1)        # [B, S/K, in]
+            cond_up = cond_up[:, starts]                 # [B, S/K, cd]
+        else:
+            x_a = jnp.concatenate([
+                params["emb_sig"][prev_sig_idx],
+                params["emb_pred"][pred_idx],
+                params["emb_exc"][prev_exc],
+                cond_up,
+            ], axis=-1)                                              # [B,S,in]
         ga = self.model.gru_a_units
         gb = self.model.gru_b_units
         gx_a = x_a @ params["gru_a_wx"] + params["gru_a_bx"]
@@ -138,6 +165,24 @@ class VocoderTrainer:
         gx_b = x_b @ params["gru_b_wx"] + params["gru_b_bx"]
         h_b = gru_scan(gx_b, params["gru_b_wh"], params["gru_b_bh"], gb,
                        jnp.zeros((B, gb)))
+
+        if K > 1:
+            ces = []
+            for j in range(K):
+                logits = self.model.sub_logits(params, h_b, j)
+                if j > 0:
+                    prev_sub = exc_idx[:, starts + j - 1]
+                    logits = (
+                        logits
+                        + params[f"bunch_exc_emb_b{j}"][prev_sub]
+                        + params[f"bunch_pred_emb_b{j}"][
+                            pred_idx[:, starts + j]]
+                    )
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                tgt = exc_idx[:, starts + j]
+                ces.append(-jnp.take_along_axis(
+                    logp, tgt[..., None], axis=-1)[..., 0])
+            return jnp.mean(jnp.stack(ces))
 
         logits = self.model.sample_logits(params, h_b)               # [B,S,256]
         logp = jax.nn.log_softmax(logits, axis=-1)

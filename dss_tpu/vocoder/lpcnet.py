@@ -74,8 +74,15 @@ class LPCNet:
         if backend == "dsp":
             self._dsp = LPCVocoder(seed=seed)
         else:
-            self._model = model if model is not None else LPCNetModel()
             self._params = _load_params(weights)
+            if model is not None:
+                self._model = model
+            elif self._params is not None:
+                # Infer the architecture (incl. bunch factor) from the
+                # checkpoint so trained bunched models "just work".
+                self._model = LPCNetModel.from_params(self._params)
+            else:
+                self._model = LPCNetModel()
             if self._params is None:
                 import jax
 
@@ -155,8 +162,13 @@ class BatchedLPCNet:
         if backend == "dsp":
             self._states = [LPCVocoder(seed=seed + i) for i in range(batch)]
         else:
-            self._model = model if model is not None else LPCNetModel()
             self._params = _load_params(weights)
+            if model is not None:
+                self._model = model
+            elif self._params is not None:
+                self._model = LPCNetModel.from_params(self._params)
+            else:
+                self._model = LPCNetModel()
             if self._params is None:
                 import jax
 

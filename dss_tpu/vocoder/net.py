@@ -44,24 +44,66 @@ FEAT_CONTEXT = 2 * (CONV_WIDTH - 1)  # left context of the two causal convs
 
 
 class LPCNetModel:
-    """Hyperparameters + functional init/apply for the neural vocoder."""
+    """Hyperparameters + functional init/apply for the neural vocoder.
+
+    ``bunch``: number of samples emitted per sample-rate-network step
+    (Bunched-LPCNet-style).  At bunch=S the GRU-A/GRU-B recurrence runs at
+    16 kHz / S; each step conditions on the last S samples + S excitations
+    (per-lag embedding tables) and emits S excitations through per-
+    sub-sample dual-FC heads, where sub-sample j >= 1 additionally
+    conditions on the previous intra-bunch excitation and its own LPC
+    prediction via [256, 256] correction embeddings.  S must divide the
+    160-sample frame.  bunch=1 is the classic LPCNet step."""
 
     def __init__(self, gru_a_units: int = GRU_A_UNITS,
                  gru_b_units: int = GRU_B_UNITS, cond_dim: int = COND_DIM,
-                 embed_dim: int = EMBED_DIM):
+                 embed_dim: int = EMBED_DIM, bunch: int = 1):
+        assert FRAME_SIZE % bunch == 0, "bunch must divide the frame"
+        assert 1 <= bunch <= LPC_ORDER
         self.gru_a_units = gru_a_units
         self.gru_b_units = gru_b_units
         self.cond_dim = cond_dim
         self.embed_dim = embed_dim
+        self.bunch = bunch
+
+    @classmethod
+    def from_params(cls, params) -> "LPCNetModel":
+        """Reconstruct the model config from a checkpoint's parameter
+        shapes (bunch inferred from the per-lag embedding tables)."""
+        bunch = 1
+        while f"emb_sig_l{bunch}" in params:
+            bunch += 1
+        return cls(
+            gru_a_units=params["gru_a_wh"].shape[0],
+            gru_b_units=params["gru_b_wh"].shape[0],
+            cond_dim=params["fc1_w"].shape[0],
+            embed_dim=params["emb_sig"].shape[1],
+            bunch=bunch,
+        )
 
     # -- parameters ----------------------------------------------------
     def init(self, key: jax.Array):
-        ks = jax.random.split(key, 16)
+        S = self.bunch
+        ks = jax.random.split(key, 16 + 6 * S)
         g = jax.nn.initializers.glorot_uniform()
         ed, cd, ga, gb = self.embed_dim, self.cond_dim, self.gru_a_units, self.gru_b_units
-        gru_a_in = 3 * ed + cd
+        gru_a_in = (2 * S + 1) * ed + cd
         gru_b_in = ga + cd
-        return {
+        extra = {}
+        for j in range(1, S):
+            k = ks[16 + 6 * j:16 + 6 * (j + 1)]
+            extra[f"emb_sig_l{j}"] = g(k[0], (MULAW_LEVELS, ed))
+            extra[f"emb_exc_l{j}"] = g(k[1], (MULAW_LEVELS, ed))
+            extra[f"fc_out1_w_b{j}"] = g(k[2], (gb, MULAW_LEVELS))
+            extra[f"fc_out2_w_b{j}"] = g(k[3], (gb, MULAW_LEVELS))
+            extra[f"fc_out1_g_b{j}"] = jnp.ones(MULAW_LEVELS)
+            extra[f"fc_out2_g_b{j}"] = jnp.ones(MULAW_LEVELS)
+            extra[f"fc_out_b_b{j}"] = jnp.zeros(MULAW_LEVELS)
+            extra[f"bunch_exc_emb_b{j}"] = g(k[4], (MULAW_LEVELS,
+                                                    MULAW_LEVELS))
+            extra[f"bunch_pred_emb_b{j}"] = g(k[5], (MULAW_LEVELS,
+                                                     MULAW_LEVELS))
+        return extra | {
             "emb_sig": g(ks[0], (MULAW_LEVELS, ed)),
             "emb_pred": g(ks[1], (MULAW_LEVELS, ed)),
             "emb_exc": g(ks[2], (MULAW_LEVELS, ed)),
@@ -166,6 +208,67 @@ class LPCNetModel:
         sig_mem = jnp.concatenate([sample[:, None], sig_mem[:, :-1]], axis=1)
         return (h_a, h_b, sig_mem, new_exc), (sample, new_exc, logits)
 
+    # -- bunched sample-rate network (S samples per step) ---------------
+    def sub_logits(self, params, h_b: jnp.ndarray, j: int) -> jnp.ndarray:
+        """Dual-FC output head for intra-bunch sub-sample ``j``."""
+        if j == 0:
+            return self.sample_logits(params, h_b)
+        t1 = jnp.tanh(h_b @ params[f"fc_out1_w_b{j}"]) \
+            * params[f"fc_out1_g_b{j}"]
+        t2 = jnp.tanh(h_b @ params[f"fc_out2_w_b{j}"]) \
+            * params[f"fc_out2_g_b{j}"]
+        return t1 + t2 + params[f"fc_out_b_b{j}"]
+
+    def bunch_step(self, params, carry, cond, lpc, gumbel, temperature):
+        """One bunched autoregressive step emitting ``self.bunch`` samples.
+
+        carry: (h_a [B,ga], h_b [B,gb], sig_mem [B,16],
+                exc_hist [B,S] int32, most recent first)
+        cond [B, cond_dim]; lpc [B, 16]; gumbel [B, S, 256];
+        temperature [B, 1].
+        Returns (carry, (samples [B,S], exc [B,S])).
+        """
+        S = self.bunch
+        h_a, h_b, sig_mem, exc_hist = carry
+
+        pred = -jnp.sum(sig_mem * lpc, axis=-1)  # [B] (first sub-sample)
+        parts = [params["emb_sig"][mulaw_encode(sig_mem[:, 0])]]
+        for j in range(1, S):
+            parts.append(params[f"emb_sig_l{j}"][mulaw_encode(sig_mem[:, j])])
+        parts.append(params["emb_pred"][mulaw_encode(pred)])
+        parts.append(params["emb_exc"][exc_hist[:, 0]])
+        for j in range(1, S):
+            parts.append(params[f"emb_exc_l{j}"][exc_hist[:, j]])
+        parts.append(cond)
+        x_a = jnp.concatenate(parts, axis=-1)
+        h_a = self._gru(x_a, h_a, params["gru_a_wx"], params["gru_a_wh"],
+                        params["gru_a_bx"], params["gru_a_bh"],
+                        params["gru_a_mask"])
+        x_b = jnp.concatenate([h_a, cond], axis=-1)
+        h_b = self._gru(x_b, h_b, params["gru_b_wx"], params["gru_b_wh"],
+                        params["gru_b_bx"], params["gru_b_bh"])
+
+        samples, excs = [], []
+        for j in range(S):
+            logits = self.sub_logits(params, h_b, j)
+            if j > 0:
+                logits = (logits
+                          + params[f"bunch_exc_emb_b{j}"][excs[-1]]
+                          + params[f"bunch_pred_emb_b{j}"][mulaw_encode(pred)])
+            scores = jnp.where(temperature < 0.0, logits,
+                               logits * temperature + gumbel[:, j])
+            new_exc = jnp.argmax(scores, axis=-1)
+            sample = jnp.clip(pred + mulaw_decode(new_exc), -1.0, 1.0)
+            sig_mem = jnp.concatenate([sample[:, None], sig_mem[:, :-1]],
+                                      axis=1)
+            samples.append(sample)
+            excs.append(new_exc)
+            if j + 1 < S:
+                pred = -jnp.sum(sig_mem * lpc, axis=-1)
+        exc_hist = jnp.stack(excs[::-1], axis=1)  # most recent first
+        return (h_a, h_b, sig_mem, exc_hist), (jnp.stack(samples, axis=1),
+                                               jnp.stack(excs, axis=1))
+
 
 class NetVocoderState(NamedTuple):
     h_a: jnp.ndarray        # [B, GRU_A]
@@ -179,11 +282,12 @@ class NetVocoderState(NamedTuple):
 
 def net_vocoder_init(model: LPCNetModel, batch: int, seed: int = 0
                      ) -> NetVocoderState:
+    exc_shape = (batch,) if model.bunch == 1 else (batch, model.bunch)
     return NetVocoderState(
         h_a=jnp.zeros((batch, model.gru_a_units), jnp.float32),
         h_b=jnp.zeros((batch, model.gru_b_units), jnp.float32),
         sig_mem=jnp.zeros((batch, LPC_ORDER), jnp.float32),
-        exc_idx=jnp.full((batch,), MULAW_LEVELS // 2, jnp.int32),
+        exc_idx=jnp.full(exc_shape, MULAW_LEVELS // 2, jnp.int32),
         feat_mem=jnp.zeros((batch, FEAT_CONTEXT, NB_FEATURES), jnp.float32),
         deemph=jnp.zeros((batch,), jnp.float32),
         rng=jax.random.PRNGKey(seed),
@@ -213,7 +317,17 @@ def net_synthesize_frames(model: LPCNetModel, params,
 
     rng, gkey = jax.random.split(state.rng)
 
-    if use_pallas:
+    if use_pallas and model.bunch > 1 and B == 1:
+        from ..ops.pallas.sampler import sampler_frames_bunched_pallas
+
+        seeds = jax.random.randint(gkey, (T,), 0, 2**31 - 1, jnp.int32)
+        (h_a, h_b, sig_mem, exc_idx), sig = sampler_frames_bunched_pallas(
+            model, params,
+            (state.h_a, state.h_b, state.sig_mem, state.exc_idx),
+            cond_all, lpc_all, temperature, seeds, frame_size=FRAME_SIZE,
+            sparse_pattern=sparse_pattern,
+        )
+    elif use_pallas and model.bunch == 1:
         from ..ops.pallas.sampler import sampler_frames_pallas
 
         seeds = jax.random.randint(gkey, (T,), 0, 2**31 - 1, jnp.int32)
@@ -223,6 +337,36 @@ def net_synthesize_frames(model: LPCNetModel, params,
             cond_all, lpc_all, temperature, seeds, frame_size=FRAME_SIZE,
             sparse_pattern=sparse_pattern,
         )
+    elif model.bunch > 1:
+        S = model.bunch
+        steps = FRAME_SIZE // S
+        gumbel = jax.random.gumbel(gkey, (T, steps, B, S, MULAW_LEVELS),
+                                   jnp.float32)
+
+        def frame_body(carry, frame_in):
+            cond_t, lpc_t, gumbel_t, temp_t = frame_in
+
+            def step(c, g):
+                c, (samples, _) = model.bunch_step(
+                    params, c, cond_t, lpc_t, g, temp_t
+                )
+                return c, samples  # [B, S]
+
+            carry, samples = jax.lax.scan(step, carry, gumbel_t)
+            return carry, samples  # [steps, B, S]
+
+        carry0 = (state.h_a, state.h_b, state.sig_mem, state.exc_idx)
+        frame_ins = (
+            jnp.moveaxis(cond_all, 1, 0),   # [T, B, cd]
+            jnp.moveaxis(lpc_all, 1, 0),    # [T, B, 16]
+            gumbel,                          # [T, steps, B, S, 256]
+            jnp.moveaxis(temperature, 1, 0),
+        )
+        (h_a, h_b, sig_mem, exc_idx), sig = jax.lax.scan(
+            frame_body, carry0, frame_ins
+        )
+        # [T, steps, B, S] -> [B, T*steps*S]
+        sig = jnp.moveaxis(sig, 2, 0).reshape(B, T * FRAME_SIZE)
     else:
         gumbel = jax.random.gumbel(gkey, (T, FRAME_SIZE, B, MULAW_LEVELS),
                                    jnp.float32)

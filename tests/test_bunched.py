@@ -1,0 +1,117 @@
+"""Bunched vocoder (S samples per sample-rate step, Bunched-LPCNet-style).
+
+Covers: model config + checkpoint round-trip, the bunched scan synthesis
+path, teacher-forced training, and greedy bit-equivalence of the bunched
+Pallas kernel (interpreter) against the scan formulation — dense and
+tile-sparse.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dss_tpu.vocoder.net import (FRAME_SIZE, LPCNetModel, net_synthesize_frames,
+                                 net_vocoder_init)
+
+
+def _bunched_scan_reference(model, params, carry, cond, lpc, temp):
+    """Greedy bunched synthesis via bunch_step scans (the XLA path)."""
+    B, T, _ = cond.shape
+    S = model.bunch
+    steps = FRAME_SIZE // S
+    gum = jnp.zeros((B, S, 256))
+    outs = []
+    c = carry
+    for t in range(T):
+        def step(cc, _):
+            cc, (smp, _) = model.bunch_step(params, cc, cond[:, t],
+                                            lpc[:, t], gum, temp[:, t])
+            return cc, smp
+
+        c, smp = jax.lax.scan(step, c, jnp.arange(steps))
+        outs.append(np.asarray(smp).transpose(1, 0, 2).reshape(B, -1))
+    return c, np.concatenate(outs, axis=1)
+
+
+def test_bunched_model_shapes_and_from_params():
+    m = LPCNetModel(bunch=2)
+    p = m.init(jax.random.PRNGKey(0))
+    assert p["gru_a_wx"].shape == (5 * 128 + 128, 3 * 384)
+    assert p["emb_sig_l1"].shape == (256, 128)
+    assert p["fc_out1_w_b1"].shape == (32, 256)
+    assert p["bunch_exc_emb_b1"].shape == (256, 256)
+    m2 = LPCNetModel.from_params(p)
+    assert m2.bunch == 2 and m2.gru_a_units == 384 and m2.cond_dim == 128
+
+    m1 = LPCNetModel()
+    p1 = m1.init(jax.random.PRNGKey(0))
+    assert LPCNetModel.from_params(p1).bunch == 1
+
+
+def test_bunched_scan_synthesis_runs():
+    m = LPCNetModel(bunch=2)
+    p = m.init(jax.random.PRNGKey(0))
+    st = net_vocoder_init(m, batch=2)
+    assert st.exc_idx.shape == (2, 2)
+    feats = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3, 20)) * 0.1, jnp.float32)
+    pcm, st2 = net_synthesize_frames(m, p, st, feats)
+    assert pcm.shape == (2, 3 * FRAME_SIZE)
+    assert bool(jnp.all(jnp.isfinite(pcm)))
+    assert float(jnp.abs(pcm).max()) <= 1.0
+
+
+def test_bunched_trainer_loss_decreases():
+    from dss_tpu.train.trainer_vocoder import VocoderTrainer, prepare_utterance
+
+    m = LPCNetModel(bunch=2)
+    rng = np.random.default_rng(1)
+    feats, sig = prepare_utterance((rng.normal(size=8000) * 0.1)
+                                   .astype(np.float32))
+    tr = VocoderTrainer(m, learning_rate=1e-3)
+    params, opt = tr.init(jax.random.PRNGKey(1))
+    fb = jnp.asarray(feats[None, :6])
+    sb = jnp.asarray(sig[None, :6 * FRAME_SIZE])
+    losses = []
+    for i in range(6):
+        params, opt, loss = tr.train_step(params, opt, fb, sb,
+                                          jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_bunched_pallas_matches_scan(sparse):
+    from dss_tpu.ops.pallas.sampler import (sampler_frames_bunched_pallas,
+                                            tile_sparse_pattern)
+
+    S = 2
+    model = LPCNetModel(bunch=S)
+    params = model.init(jax.random.PRNGKey(0))
+    if sparse:
+        keep = (np.random.default_rng(5).random((24, 9)) < 0.3)
+        keep[:4] = True
+        mask = np.repeat(np.repeat(keep.astype(np.float32), 16, 0), 128, 1)
+        pattern, kept = tile_sparse_pattern(mask)
+        assert kept < 1.0
+        params = dict(params, gru_a_mask=jnp.asarray(mask))
+    else:
+        pattern = None
+
+    rng = np.random.default_rng(3)
+    B, T = 1, 2
+    cond = jnp.asarray(rng.normal(size=(B, T, 128)) * 0.1, jnp.float32)
+    lpc = jnp.asarray(rng.normal(size=(B, T, 16)) * 0.01, jnp.float32)
+    temp = jnp.full((B, T, 1), -1.0, jnp.float32)  # greedy
+    carry = (jnp.zeros((B, 384)), jnp.zeros((B, 32)), jnp.zeros((B, 16)),
+             jnp.full((B, S), 128, jnp.int32))
+
+    _, ref = _bunched_scan_reference(model, params, carry, cond, lpc, temp)
+    got_c, got = sampler_frames_bunched_pallas(
+        model, params, carry, cond, lpc, temp,
+        seeds=jnp.arange(T, dtype=jnp.int32), frame_size=FRAME_SIZE,
+        stochastic=False, weight_dtype=jnp.float32, sparse_pattern=pattern)
+
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+    assert got_c[3].shape == (B, S)

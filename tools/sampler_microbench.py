@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--chain", type=int, default=24)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--variants", type=str, default="")
+    ap.add_argument("--ablate", action="store_true",
+                    help="profile the sparse-bf16 config by ablating one "
+                         "kernel stage at a time (each replaced by a cheap "
+                         "dependency-preserving op); deltas rank stage cost")
     ap.add_argument("--weights", type=str, default="weights/vocoder_synthetic.npz",
                     help=".npz checkpoint whose gru_a_mask supplies the "
                          "realistic sparse pattern")
@@ -97,30 +101,70 @@ def main():
                                  sparse_group_lanes=384),
         "sparse-bf16-union": dict(weight_dtype=jnp.bfloat16, sparse=True,
                                   sparse_group_lanes=1152),
+        # Bunched models (S samples per GRU step; B=1 latency path).
+        "bunch2-dense": dict(bunch=2, sparse=False),
+        "bunch2-sparse": dict(bunch=2, sparse=True),
+        "bunch4-dense": dict(bunch=4, sparse=False),
+        "bunch4-sparse": dict(bunch=4, sparse=True),
     }
-    names = [v for v in args.variants.split(",") if v] or \
-        ["dense-bf16", "sparse-bf16"]
+    if args.ablate:
+        for stage in ("", "pred", "encode", "gather", "grua", "grub",
+                      "head", "noise", "argmax", "decode", "store"):
+            name = f"sparse-bf16~{stage or 'full'}"
+            VARIANTS[name] = dict(weight_dtype=jnp.bfloat16, sparse=True,
+                                  ablate=stage)
+        names = [n for n in VARIANTS if "~" in n]
+    else:
+        names = [v for v in args.variants.split(",") if v] or \
+            ["dense-bf16", "sparse-bf16"]
+
+    from dss_tpu.ops.pallas.sampler import sampler_frames_bunched_pallas
+
+    bunch_cache = {}
+
+    def bunch_setup(S, sparse):
+        if (S, sparse) not in bunch_cache:
+            m = LPCNetModel(bunch=S)
+            p = m.init(jax.random.PRNGKey(0))
+            pat = None
+            if sparse:
+                p = dict(p, gru_a_mask=jnp.asarray(mask, jnp.float32))
+                pat = pattern
+            c = (jnp.zeros((B, m.gru_a_units), jnp.float32),
+                 jnp.zeros((B, m.gru_b_units), jnp.float32),
+                 jnp.zeros((B, 16), jnp.float32),
+                 jnp.full((B, S), 128, jnp.int32))
+            bunch_cache[(S, sparse)] = (m, p, pat, c)
+        return bunch_cache[(S, sparse)]
 
     results = {}
     for name in names:
         cfg = dict(VARIANTS[name])
         sparse = cfg.pop("sparse")
-        p = params_sp if sparse else params
-        pat = pattern if sparse else None
+        S = cfg.pop("bunch", 1)
+        if S > 1:
+            bm, p, pat, bc = bunch_setup(S, sparse)
+            run = lambda c, **kw: sampler_frames_bunched_pallas(
+                bm, p, c, cond, lpc, temp, seeds, **kw)
+            carry_fn = lambda: bc
+        else:
+            p = params_sp if sparse else params
+            pat = pattern if sparse else None
+            run = lambda c, **kw: sampler_frames_pallas(
+                model, p, c, cond, lpc, temp, seeds, **kw)
+            carry_fn = carry0
         kw = dict(frame_size=FRAME_SIZE, stochastic=True,
                   sparse_pattern=pat, **cfg)
 
         t0 = time.perf_counter()
-        c, sig = sampler_frames_pallas(model, p, carry0(), cond, lpc, temp,
-                                       seeds, **kw)
+        c, sig = run(carry_fn(), **kw)
         _sync(sig)
         print(f"{name}: compile+run {time.perf_counter() - t0:.1f}s")
 
         t_single = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            c, sig = sampler_frames_pallas(model, p, c, cond, lpc, temp,
-                                           seeds, **kw)
+            c, sig = run(c, **kw)
             _sync(sig)
             t_single = min(t_single, time.perf_counter() - t0)
 
@@ -128,8 +172,7 @@ def main():
         for _ in range(args.reps):
             t0 = time.perf_counter()
             for _ in range(args.chain):
-                c, sig = sampler_frames_pallas(model, p, c, cond, lpc, temp,
-                                               seeds, **kw)
+                c, sig = run(c, **kw)
             _sync(sig)
             t_chain = min(t_chain, time.perf_counter() - t0)
 
