@@ -56,7 +56,8 @@ def _rpc_floor() -> float:
 
 def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
                    chain: int = 24, chain_reps: int = 4,
-                   sparse: bool = False) -> dict:
+                   sparse: bool = False, bunch: int = 1,
+                   weights: str = None) -> dict:
     """Vocoder real-time factors for one compiled shape.
 
     Two numbers: ``rtf_call`` includes the per-call host round trip (the
@@ -70,12 +71,24 @@ def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
     from dss_tpu.vocoder import LPCNetModel
     from dss_tpu.vocoder.net import net_synthesize_frames, net_vocoder_init
 
-    model = LPCNetModel()
-    params = model.init(jax.random.PRNGKey(0))
-    state = net_vocoder_init(model, batch=batch)
-
     sparse_pattern = None
-    if sparse:
+    if weights is not None:
+        # Shipped checkpoint: architecture (incl. bunch) and the trained
+        # tile-sparse mask come from the file.
+        from dss_tpu.ops.pallas.sampler import tile_sparse_pattern
+
+        params = {k: jnp.asarray(v) for k, v in dict(np.load(weights)).items()}
+        model = LPCNetModel.from_params(params)
+        sparse_pattern, _ = tile_sparse_pattern(
+            np.asarray(params["gru_a_mask"]))
+        sparse = sparse_pattern is not None
+        state = net_vocoder_init(model, batch=batch)
+    else:
+        model = LPCNetModel(bunch=bunch)
+        params = model.init(jax.random.PRNGKey(0))
+        state = net_vocoder_init(model, batch=batch)
+
+    if sparse and sparse_pattern is None:
         # The production config for trained models: the vocoder trainer
         # prunes GRU-A to 20% density at the Pallas kernel's [16, 128]
         # tile granularity, and the sampler then skips pruned tiles.
@@ -98,6 +111,8 @@ def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
 
     backend = ("pallas-sparse20" if sparse else "pallas") if use_pallas \
         else "scan"
+    if model.bunch > 1:
+        backend += f"-bunch{model.bunch}"
     _log(f"vocoder[{backend}] b={batch} T={n_frames}: compiling...")
     t0 = time.perf_counter()
     pcm, st = net_synthesize_frames(model, params, state, feats,
@@ -397,6 +412,18 @@ def main() -> None:
             pal64 = _bench_vocoder(n_frames=50, batch=64, use_pallas=True)
             _PARTIAL["extra"]["vocoder_rtf_64stream_aggregate_device"] = \
                 round(pal64["rtf_device"], 3)
+            # Bunched configs (S samples per sample-rate step).  A shipped
+            # quality-gated bunched checkpoint counts toward the headline;
+            # otherwise the untrained-weights number is reported as extra.
+            from dss_tpu.vocoder import packaged_weights_bunched
+
+            b2w = packaged_weights_bunched()
+            b2 = _bench_vocoder(n_frames=100, batch=1, use_pallas=True,
+                                sparse=True, bunch=2, weights=b2w)
+            _PARTIAL["extra"]["vocoder_bunch2_sparse_rtf_device"] = \
+                round(b2["rtf_device"], 3)
+            if b2w is not None:
+                _set_headline(b2)
         except Exception as e:  # Pallas path requires a real TPU backend
             _log(f"pallas vocoder bench unavailable: {e}")
 
