@@ -101,6 +101,7 @@ def main() -> None:
     rng = np.random.default_rng(args.seed)
     steps_per_epoch = max(1, len(feats) // args.batch)
     prune_start = args.epochs // 4
+    best_score = float("inf")
     for epoch in range(args.epochs):
         order = rng.permutation(len(feats))
         losses = []
@@ -144,8 +145,26 @@ def main() -> None:
                 f"{report.cepstral_distance_db:.2f} dB "
                 f"(band SNR {report.band_level_snr_db:.2f} dB)"
             )
+            # Best-by-VALIDATION checkpoint (mirrors StoreBestModel's
+            # "single best weights file" contract): free-running quality
+            # is non-monotonic and invisible in the CE loss, so the best
+            # scored epoch — not the last — is the release candidate.
+            # Only fully-pruned epochs are eligible, so the best file is
+            # always at the target density (and tile-sparse on TPU).
+            if (report.cepstral_distance_db < best_score
+                    and density <= args.density + 1e-6):
+                best_score = report.cepstral_distance_db
+                np.savez(os.path.join(args.out_dir, "vocoder_best.npz"),
+                         **{k: np.asarray(v) for k, v in params.items()})
+                logger.info(
+                    f"Epoch {epoch + 1:>03}: new best val score — saved "
+                    f"vocoder_best.npz")
 
     logger.info(f"Saved weights to {os.path.join(args.out_dir, 'vocoder.npz')}")
+    if best_score < float("inf"):
+        logger.info(
+            f"Best-by-validation checkpoint: vocoder_best.npz "
+            f"({best_score:.2f} dB)")
 
 
 if __name__ == "__main__":

@@ -652,24 +652,29 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
 
 def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                          gru_b: int, cond_dim: int, embed_dim: int,
-                         bunch: int, stochastic: bool = True,
-                         sparse_pattern=None,
+                         bunch: int, batch: int = 1,
+                         stochastic: bool = True, sparse_pattern=None,
                          sparse_group_lanes: int = COL_BLOCK):
     S = bunch
     n_emb = 2 * S + 1
     steps = frame_size // S
+    # Small batches use dynamic row gathers (3 slices/table, latency play);
+    # large batches amortize streaming, so one-hot matmuls against STACKED
+    # tables (one ref) feed the MXU instead.
+    fuse_gather = batch <= 4
 
     def kernel(*refs):
         it = iter(refs)
         cond_ref = next(it); lpc_ref = next(it)
         temp_ref = next(it); seed_ref = next(it)
-        emb_refs = [next(it) for _ in range(n_emb)]
+        emb_refs = [next(it) for _ in range(n_emb if fuse_gather else 1)]
         gru_a_wx_ref = next(it); gru_a_wh_ref = next(it)
         gru_a_bx_ref = next(it); gru_a_bh_ref = next(it)
         gru_b_wx_ref = next(it); gru_b_wh_ref = next(it)
         gru_b_bx_ref = next(it); gru_b_bh_ref = next(it)
         out_w_ref = next(it); out_g_ref = next(it); out_b_ref = next(it)
-        corr_refs = [(next(it), next(it)) for _ in range(S - 1)]
+        corr_refs = [(next(it), next(it)) if fuse_gather else (next(it),)
+                     for _ in range(S - 1)]
         h_a0_ref = next(it); h_b0_ref = next(it)
         sig_mem0_ref = next(it); exc0_ref = next(it)
         sig_out_ref = next(it); h_a_out_ref = next(it); h_b_out_ref = next(it)
@@ -689,9 +694,9 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
         if stochastic:
             pltpu.prng_seed(seed_ref[pl.program_id(0)])
 
-        cond = cond_ref[0]          # [1, cond_dim]
-        lpc = lpc_ref[0]            # [1, lpc_order]
-        temp = temp_ref[0]          # [1, 1]
+        cond = cond_ref[0]          # [B, cond_dim]
+        lpc = lpc_ref[0]            # [B, lpc_order]
+        temp = temp_ref[0]          # [B, 1]
         greedy = temp[0, 0] < 0.0
 
         emb_rows = n_emb * embed_dim
@@ -703,10 +708,16 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                             preferred_element_type=jnp.float32) \
             + gru_b_bx_ref[...]
 
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, MULAW_LEVELS), 1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (batch, MULAW_LEVELS), 1)
         lanes_col = jax.lax.broadcasted_iota(
             jnp.int32, (MULAW_LEVELS, 1), 0).astype(jnp.float32)
-        lpc_col = lpc.reshape(lpc_order, 1)
+        lpc_col = lpc.reshape(lpc_order, 1) if batch == 1 else None
+
+        def predict(sig_mem):
+            if batch == 1:
+                return -jnp.dot(sig_mem, lpc_col,
+                                preferred_element_type=jnp.float32)  # [1,1]
+            return -jnp.sum(sig_mem * lpc, axis=1, keepdims=True)    # [B,1]
 
         def sample_from(scores):
             if stochastic:
@@ -726,7 +737,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
         def add_noise(logits):
             if not stochastic:
                 return logits
-            bits = pltpu.prng_random_bits((1, MULAW_LEVELS))
+            bits = pltpu.prng_random_bits((batch, MULAW_LEVELS))
             bits24 = pltpu.bitcast(
                 pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
             )
@@ -736,24 +747,41 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
 
         def step(i, _):
             sig_mem = sig_mem_s[...]
-            pred = -jnp.dot(sig_mem, lpc_col,
-                            preferred_element_type=jnp.float32)  # [1,1]
+            pred = predict(sig_mem)
 
             # One vector encode covers all S signal lags (contiguous in
             # sig_mem); the prediction encode stays separate (independent
             # chain).
-            sig_idx = _mulaw_encode(sig_mem[:, :S])   # [1,S] int32
-            pred_idx = _mulaw_encode(pred)            # [1,1]
+            sig_idx = _mulaw_encode(sig_mem[:, :S])   # [B,S] int32
+            pred_idx = _mulaw_encode(pred)            # [B,1]
 
-            entries = [(emb_refs[j], sig_idx[0, j]) for j in range(S)]
-            entries.append((emb_refs[S], pred_idx[0, 0]))
-            entries += [(emb_refs[S + 1 + j], exc_s[0, j]) for j in range(S)]
-            gx_a = _gather_rows_sum(tuple(entries)) + gx_a_cond
+            if fuse_gather:
+                rows = []
+                for b in range(batch):
+                    entries = [(emb_refs[j], sig_idx[b, j])
+                               for j in range(S)]
+                    entries.append((emb_refs[S], pred_idx[b, 0]))
+                    entries += [(emb_refs[S + 1 + j], exc_s[b, j])
+                                for j in range(S)]
+                    rows.append(_gather_rows_sum(tuple(entries)))
+                gx_emb = rows[0] if batch == 1 else \
+                    jnp.concatenate(rows, axis=0)
+            else:
+                wdt = emb_refs[0].dtype
+                ohs = [_one_hot(sig_idx[:, j:j + 1], MULAW_LEVELS, wdt)
+                       for j in range(S)]
+                ohs.append(_one_hot(pred_idx, MULAW_LEVELS, wdt))
+                ohs += [_one_hot(exc_s[:, j:j + 1], MULAW_LEVELS, wdt)
+                        for j in range(S)]
+                gx_emb = jnp.dot(jnp.concatenate(ohs, axis=1),
+                                 emb_refs[0][...],
+                                 preferred_element_type=jnp.float32)
+            gx_a = gx_emb + gx_a_cond
 
             if sparse_pattern is not None:
                 h_a = _gru_pre_sparse(gx_a, h_a_s[...], gru_a_wh_ref,
                                       gru_a_bh_ref[...], gru_a,
-                                      sparse_pattern, 1,
+                                      sparse_pattern, batch,
                                       group_lanes=sparse_group_lanes)
             else:
                 h_a = _gru_pre(gx_a, h_a_s[...], gru_a_wh_ref[...],
@@ -786,20 +814,33 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                           + out_b_ref[:, j * MULAW_LEVELS:
                                       (j + 1) * MULAW_LEVELS])
                 if j > 0:
-                    ce_ref, cp_ref = corr_refs[j - 1]
-                    logits = logits + _gather_rows_sum((
-                        (ce_ref, excs[-1][0, 0]),
-                        (cp_ref, p_idx[0, 0]),
-                    ))
+                    if fuse_gather:
+                        corr_rows = []
+                        for b in range(batch):
+                            ce_ref, cp_ref = corr_refs[j - 1]
+                            corr_rows.append(_gather_rows_sum((
+                                (ce_ref, excs[-1][b, 0]),
+                                (cp_ref, p_idx[b, 0]),
+                            )))
+                        corr = corr_rows[0] if batch == 1 else \
+                            jnp.concatenate(corr_rows, axis=0)
+                    else:
+                        cref = corr_refs[j - 1][0]
+                        wdt = cref.dtype
+                        oh = jnp.concatenate(
+                            [_one_hot(excs[-1], MULAW_LEVELS, wdt),
+                             _one_hot(p_idx, MULAW_LEVELS, wdt)], axis=1)
+                        corr = jnp.dot(oh, cref[...],
+                                       preferred_element_type=jnp.float32)
+                    logits = logits + corr
                 new_exc = sample_from(add_noise(logits))
                 excs.append(new_exc)
                 e = _mulaw_decode(new_exc)
-                sample = jnp.clip(p + e, -1.0, 1.0)  # [1,1]
+                sample = jnp.clip(p + e, -1.0, 1.0)  # [B,1]
                 sig_mem = jnp.concatenate([sample, sig_mem[:, :-1]], axis=1)
                 sig_out_ref[0, i * S + j, :] = sample[:, 0]
                 if j + 1 < S:
-                    p = -jnp.dot(sig_mem, lpc_col,
-                                 preferred_element_type=jnp.float32)
+                    p = predict(sig_mem)
                     p_idx = _mulaw_encode(p)
             sig_mem_s[...] = sig_mem
             exc_s[...] = (excs[0] if S == 1
@@ -824,9 +865,8 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                           stochastic: bool = True,
                           weight_dtype=jnp.bfloat16, sparse_pattern=None,
                           sparse_group_lanes: int = COL_BLOCK):
-    """cond [T,1,cd], lpc [T,1,16], temp [T,1,1], seeds [T]; exc0 [1,S]."""
+    """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T]; exc0 [B,S]."""
     T, B, cd = cond.shape
-    assert B == 1, "bunched kernel is the single-stream latency path"
     S = bunch
     lpc_order = lpc.shape[-1]
     gru_a = h_a0.shape[-1]
@@ -839,9 +879,11 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                                        sparse_group_lanes // COL_BLOCK)
 
     kernel = _make_bunched_kernel(frame_size, lpc_order, gru_a, gru_b, cd,
-                                  embed_dim, S, stochastic=stochastic,
+                                  embed_dim, S, batch=B,
+                                  stochastic=stochastic,
                                   sparse_pattern=sparse_pattern,
                                   sparse_group_lanes=sparse_group_lanes)
+    fuse_gather = B <= 4
 
     def frame_spec(shape):
         return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
@@ -859,9 +901,17 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
     wx = jnp.asarray(weights["gru_a_wx"], jnp.float32)
     weight_vals = []
     matrix = []
-    for n, key in enumerate(emb_names):
-        emb = jnp.asarray(weights[key], jnp.float32)
-        weight_vals.append(emb @ wx[n * embed_dim:(n + 1) * embed_dim, :])
+    fused_tables = [
+        jnp.asarray(weights[key], jnp.float32)
+        @ wx[n * embed_dim:(n + 1) * embed_dim, :]
+        for n, key in enumerate(emb_names)
+    ]
+    if fuse_gather:
+        weight_vals += fused_tables
+        matrix += [True] * len(fused_tables)
+    else:
+        # One-hot path: a single stacked [(2S+1)*256, 3ga] table.
+        weight_vals.append(jnp.concatenate(fused_tables, axis=0))
         matrix.append(True)
 
     wh = jnp.asarray(weights["gru_a_wh"], jnp.float32) \
@@ -891,12 +941,14 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
     matrix += [True, False, False]
 
     for j in range(1, S):
-        weight_vals.append(jnp.asarray(weights[f"bunch_exc_emb_b{j}"],
-                                       jnp.float32))
-        matrix.append(True)
-        weight_vals.append(jnp.asarray(weights[f"bunch_pred_emb_b{j}"],
-                                       jnp.float32))
-        matrix.append(True)
+        ce = jnp.asarray(weights[f"bunch_exc_emb_b{j}"], jnp.float32)
+        cp = jnp.asarray(weights[f"bunch_pred_emb_b{j}"], jnp.float32)
+        if fuse_gather:
+            weight_vals += [ce, cp]
+            matrix += [True, True]
+        else:
+            weight_vals.append(jnp.concatenate([ce, cp], axis=0))
+            matrix.append(True)
 
     for k in range(len(weight_vals)):
         w = weight_vals[k]
@@ -951,7 +1003,7 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
                                   stochastic: bool = True, weight_dtype=None,
                                   sparse_pattern=None,
                                   sparse_group_lanes=None):
-    """Bunched-model synthesis of T frames (B=1).
+    """Bunched-model synthesis of T frames.
 
     carry: (h_a [1,ga], h_b [1,gb], sig_mem [1,16], exc_hist [1,S]).
     Returns ((h_a, h_b, sig_mem, exc_hist), sig [1, T*frame_size]).
@@ -959,7 +1011,7 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
     S = model.bunch
     h_a, h_b, sig_mem, exc_hist = carry
     if weight_dtype is None:
-        weight_dtype = jnp.bfloat16
+        weight_dtype = jnp.bfloat16 if cond_all.shape[0] < 32 else jnp.float32
     if sparse_group_lanes is None:
         ga = h_a.shape[-1]
         sparse_group_lanes = ga if ga % COL_BLOCK == 0 else COL_BLOCK
@@ -970,7 +1022,7 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
         cond, lpc, temp, jnp.asarray(seeds, jnp.int32), params,
         jnp.asarray(h_a, jnp.float32), jnp.asarray(h_b, jnp.float32),
         jnp.asarray(sig_mem, jnp.float32),
-        jnp.asarray(exc_hist, jnp.int32).reshape(1, S),
+        jnp.asarray(exc_hist, jnp.int32).reshape(-1, S),
         frame_size=frame_size, bunch=S, stochastic=stochastic,
         weight_dtype=weight_dtype, sparse_pattern=sparse_pattern,
         sparse_group_lanes=sparse_group_lanes,

@@ -317,7 +317,7 @@ def net_synthesize_frames(model: LPCNetModel, params,
 
     rng, gkey = jax.random.split(state.rng)
 
-    if use_pallas and model.bunch > 1 and B == 1:
+    if use_pallas and model.bunch > 1:
         from ..ops.pallas.sampler import sampler_frames_bunched_pallas
 
         seeds = jax.random.randint(gkey, (T,), 0, 2**31 - 1, jnp.int32)

@@ -6,6 +6,12 @@ Pallas kernel (interpreter) against the scan formulation — dense and
 tile-sparse.
 """
 
+import os
+
+# Must be set before dss_tpu.ops.pallas.sampler imports (CPU runs the
+# kernels through the Pallas interpreter).
+os.environ["DSS_PALLAS_INTERPRET"] = "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -115,3 +121,28 @@ def test_bunched_pallas_matches_scan(sparse):
 
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
     assert got_c[3].shape == (B, S)
+
+
+@pytest.mark.parametrize("batch", [2, 8])
+def test_bunched_pallas_batched_matches_scan(batch):
+    """Batched bunched kernel: per-stream row gathers at small B,
+    one-hot matmuls against stacked tables at large B."""
+    from dss_tpu.ops.pallas.sampler import sampler_frames_bunched_pallas
+
+    S = 2
+    model = LPCNetModel(bunch=S)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    B, T = batch, 1
+    cond = jnp.asarray(rng.normal(size=(B, T, 128)) * 0.1, jnp.float32)
+    lpc = jnp.asarray(rng.normal(size=(B, T, 16)) * 0.01, jnp.float32)
+    temp = jnp.full((B, T, 1), -1.0, jnp.float32)
+    carry = (jnp.zeros((B, 384)), jnp.zeros((B, 32)), jnp.zeros((B, 16)),
+             jnp.full((B, S), 128, jnp.int32))
+
+    _, ref = _bunched_scan_reference(model, params, carry, cond, lpc, temp)
+    _, got = sampler_frames_bunched_pallas(
+        model, params, carry, cond, lpc, temp,
+        seeds=jnp.arange(T, dtype=jnp.int32), frame_size=FRAME_SIZE,
+        stochastic=False, weight_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
