@@ -56,10 +56,13 @@ def packaged_weights():
     return _packaged("vocoder_synthetic.npz")
 
 
-def packaged_weights_bunched():
-    """Path to the shipped bunch=2 checkpoint (2 samples per sample-rate
-    step, ~1.3x faster synthesis at a small quality cost), or None."""
-    return _packaged("vocoder_synthetic_b2.npz")
+def packaged_weights_bunched(bunch: int = 2):
+    """Path to the shipped bunched checkpoint (``bunch`` samples per
+    sample-rate step — faster synthesis at a small quality cost), or
+    None.  Shipped: bunch=2 (78x RT, 5.2 dB held-out) and bunch=4
+    (95x RT, 5.0-5.7 dB held-out) vs 60x / 4.4 dB for the bunch=1
+    checkpoint."""
+    return _packaged(f"vocoder_synthetic_b{bunch}.npz")
 
 __all__ = [
     "mulaw_encode",

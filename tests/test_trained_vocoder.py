@@ -52,28 +52,31 @@ def test_roundtrip_quality_floor(held_out_audio):
     assert report.cepstral_distance_db < 12.0
 
 
-BUNCHED = REPO / "weights" / "vocoder_synthetic_b2.npz"
+def _bunched_path(S):
+    return REPO / "weights" / f"vocoder_synthetic_b{S}.npz"
 
 
-def test_bunched_weights_load_sparse_and_infer_bunch():
+@pytest.mark.parametrize("bunch", [2, 4])
+def test_bunched_weights_load_sparse_and_infer_bunch(bunch):
     from dss_tpu.ops.pallas.sampler import tile_sparse_pattern
     from dss_tpu.vocoder import LPCNetModel
 
-    params = dict(np.load(BUNCHED))
-    assert LPCNetModel.from_params(params).bunch == 2
+    params = dict(np.load(_bunched_path(bunch)))
+    assert LPCNetModel.from_params(params).bunch == bunch
     pattern, kept = tile_sparse_pattern(params["gru_a_mask"])
     assert pattern is not None and kept < 1.0
 
 
-def test_bunched_roundtrip_quality_floor(held_out_audio):
-    """The shipped bunch=2 checkpoint (2 samples per sample-rate step,
-    ~1.3x faster synthesis) must stay within the same quality floor as the
-    bunch=1 checkpoint.  Measured 5.2 dB at ship time (bunch=1: 4.4 dB;
-    DSP: ~19 dB)."""
+@pytest.mark.parametrize("bunch", [2, 4])
+def test_bunched_roundtrip_quality_floor(held_out_audio, bunch):
+    """The shipped bunched checkpoints (S samples per sample-rate step,
+    ~1.3x / ~1.6x faster synthesis) must stay within the same quality
+    floor as the bunch=1 checkpoint.  Measured at ship time: 5.2 dB
+    (bunch=2), 5.0-5.7 dB (bunch=4); bunch=1: 4.4 dB; DSP: ~19 dB."""
     from dss_tpu.eval.quality import score_roundtrip
     from dss_tpu.vocoder import LPCNet
 
-    vocoder = LPCNet(backend="net", weights=str(BUNCHED))
-    assert vocoder._model.bunch == 2
+    vocoder = LPCNet(backend="net", weights=str(_bunched_path(bunch)))
+    assert vocoder._model.bunch == bunch
     report = score_roundtrip(held_out_audio, vocoder)
     assert report.cepstral_distance_db < 12.0
