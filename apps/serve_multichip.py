@@ -77,11 +77,13 @@ def main() -> None:
     mesh = make_mesh(n_dev)
     streams = n_dev * args.streams_per_device
 
-    model = LPCNetModel()
     if args.weights:
         params = {k: jnp.asarray(v)
                   for k, v in np.load(args.weights).items()}
+        # Architecture (incl. the bunch factor) rides in the checkpoint.
+        model = LPCNetModel.from_params(params)
     else:
+        model = LPCNetModel()
         params = model.init(jax.random.PRNGKey(0))
     state = net_vocoder_init(model, batch=streams)
 

@@ -699,9 +699,10 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
         temp = temp_ref[0]          # [B, 1]
         greedy = temp[0, 0] < 0.0
 
-        emb_rows = n_emb * embed_dim
+        # gru_a_wx_ref holds ONLY the conditioning row band (the embedding
+        # rows live pre-fused inside the tables): [cond_dim, 3*gru_a].
         cond_w = cond.astype(gru_a_wx_ref.dtype)
-        gx_a_cond = jnp.dot(cond_w, gru_a_wx_ref[pl.ds(emb_rows, cond_dim), :],
+        gx_a_cond = jnp.dot(cond_w, gru_a_wx_ref[...],
                             preferred_element_type=jnp.float32) \
             + gru_a_bx_ref[...]
         gx_b_cond = jnp.dot(cond_w, gru_b_wx_ref[pl.ds(gru_a, cond_dim), :],
@@ -919,7 +920,8 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
     if sparse_pattern is not None:
         wh = _compact_sparse_wh(wh, sparse_pattern,
                                 group_lanes=sparse_group_lanes)
-    for w, m in ((weights["gru_a_wx"], True), (wh, True),
+    wx_cond = wx[n_emb * embed_dim:, :]  # only the cond rows ride to VMEM
+    for w, m in ((wx_cond, True), (wh, True),
                  (weights["gru_a_bx"], False), (weights["gru_a_bh"], False),
                  (weights["gru_b_wx"], True), (weights["gru_b_wh"], True),
                  (weights["gru_b_bx"], False), (weights["gru_b_bh"], False)):

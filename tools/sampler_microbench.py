@@ -106,6 +106,7 @@ def main():
         "bunch2-sparse": dict(bunch=2, sparse=True),
         "bunch4-dense": dict(bunch=4, sparse=False),
         "bunch4-sparse": dict(bunch=4, sparse=True),
+        "bunch8-sparse": dict(bunch=8, sparse=True),
     }
     if args.ablate:
         for stage in ("", "pred", "encode", "gather", "grua", "grub",
