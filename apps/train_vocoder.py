@@ -78,6 +78,10 @@ def main() -> None:
                              "this score, not the loss.")
     parser.add_argument("--score-every", type=int, default=10,
                         help="Epoch interval for --val-wav scoring.")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from OUT_DIR/train_state.pkl (params "
+                             "+ optimizer state + epoch counter), matching "
+                             "the other trainers' resume contract.")
     args = parser.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -98,11 +102,20 @@ def main() -> None:
     key, ik = jax.random.split(key)
     params, opt_state = trainer.init(ik)
 
+    from dss_tpu.train.checkpoints import load_train_state, save_train_state
+
+    state_path = os.path.join(args.out_dir, "train_state.pkl")
+    start_epoch = 0
+    if args.resume and os.path.exists(state_path):
+        params, opt_state, extra = load_train_state(state_path)
+        start_epoch = int(extra.get("epoch", 0))
+        logger.info(f"Resumed from {state_path} at epoch {start_epoch}")
+
     rng = np.random.default_rng(args.seed)
     steps_per_epoch = max(1, len(feats) // args.batch)
     prune_start = args.epochs // 4
     best_score = float("inf")
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         order = rng.permutation(len(feats))
         losses = []
         for s in range(steps_per_epoch):
@@ -130,6 +143,8 @@ def main() -> None:
         )
         np.savez(os.path.join(args.out_dir, "vocoder.npz"),
                  **{k: np.asarray(v) for k, v in params.items()})
+        save_train_state(state_path, params, opt_state,
+                         extra={"epoch": epoch + 1})
 
         if args.val_wav and (epoch + 1) % max(1, args.score_every) == 0:
             from dss_tpu.eval.quality import score_roundtrip

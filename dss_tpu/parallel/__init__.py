@@ -4,6 +4,7 @@ from .shard import (
     shard_batch,
     sharded_decoder_train_step,
     sharded_vad_train_step,
+    sharded_vocoder_train_step,
     batched_vocoder_sharding,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "shard_batch",
     "sharded_decoder_train_step",
     "sharded_vad_train_step",
+    "sharded_vocoder_train_step",
     "batched_vocoder_sharding",
 ]

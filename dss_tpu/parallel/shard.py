@@ -110,3 +110,30 @@ def batched_vocoder_sharding(mesh: Mesh, state, features):
     state = jax.tree.map(place, state)
     features = shard_batch(mesh, features)
     return state, features
+
+
+def sharded_vocoder_train_step(mesh: Mesh, trainer, params, opt_state,
+                               features, signal, rng):
+    """One data-parallel vocoder training step on the mesh.
+
+    Parameters and optimizer state are replicated; the utterance-chunk
+    batch is sharded over the mesh "data" axis.  The jitted train_step is
+    unchanged — GSPMD turns the batch-mean gradient into a psum across
+    shards, so this IS the multi-chip trainer (the driver dry-runs it on a
+    virtual mesh; on real hardware the same code scales batch throughput
+    by the device count).
+
+    Returns (params, opt_state, loss) with the same replicated layout, so
+    steps chain.
+    """
+    def replicate(leaf):
+        return jax.device_put(np.asarray(leaf), NamedSharding(mesh, P()))
+
+    with mesh:
+        params = jax.tree.map(replicate, params)
+        opt_state = jax.tree.map(replicate, opt_state)
+        fb, sb = shard_batch(mesh, features, signal)
+        params, opt_state, loss = trainer.train_step(
+            params, opt_state, fb, sb, rng)
+        jax.block_until_ready(loss)
+    return params, opt_state, loss

@@ -130,3 +130,50 @@ def test_sharded_vad_train_step():
     mask = np.ones((B, T), np.float32)
     loss = sharded_vad_train_step(mesh, x, y, mask, hidden=8)
     assert np.isfinite(float(loss))
+
+
+def test_sharded_vocoder_train_step_matches_single_device():
+    """Data-parallel vocoder training: replicated params + batch sharded
+    over the data axis must produce the same loss and parameters as the
+    plain single-device step (GSPMD inserts the gradient psum)."""
+    import jax.numpy as jnp
+
+    from dss_tpu.parallel.shard import sharded_vocoder_train_step
+    from dss_tpu.train.trainer_vocoder import VocoderTrainer
+    from dss_tpu.vocoder.net import LPCNetModel
+
+    model = LPCNetModel()
+    trainer = VocoderTrainer(model, learning_rate=1e-3, noise_level=0)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    B, T = 8, 2
+    feats = jnp.asarray(rng.normal(size=(B, T, 20)) * 0.1, jnp.float32)
+    sig = jnp.asarray(rng.normal(size=(B, T * 160)) * 0.05, jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    _, _, ref_loss = trainer.train_step(params, opt_state, feats, sig, key)
+    ref_grad = jax.grad(lambda p: trainer._loss(p, feats, sig, key))(params)
+
+    mesh = make_mesh(8, model_parallel=1)  # pure data parallel
+    sh_params, sh_opt, sh_loss = sharded_vocoder_train_step(
+        mesh, trainer, params, opt_state, feats, sig, key)
+    np.testing.assert_allclose(float(sh_loss), float(ref_loss), rtol=1e-5)
+    # The step must actually move the parameters (replicated layout).
+    assert not np.allclose(np.asarray(sh_params["gru_b_wx"]),
+                           np.asarray(params["gru_b_wx"]))
+
+    # Gradient equivalence under the sharded layout (the psum GSPMD
+    # inserts): identical up to cross-shard fp reduction order.  Post-Adam
+    # params are NOT compared — the first-step update is sign(grad)-scaled,
+    # so reduction noise on near-zero gradients flips update signs.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    with mesh:
+        pr = jax.tree.map(
+            lambda l: jax.device_put(np.asarray(l), NamedSharding(mesh, P())),
+            params)
+        fb, sb = shard_batch(mesh, feats, sig)
+        sh_grad = jax.grad(lambda p: trainer._loss(p, fb, sb, key))(pr)
+    np.testing.assert_allclose(np.asarray(sh_grad["gru_a_wh"]),
+                               np.asarray(ref_grad["gru_a_wh"]), atol=1e-5)
