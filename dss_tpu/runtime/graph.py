@@ -251,7 +251,15 @@ def _bind(unit: Unit, port_ref) -> BoundStream:
 
 async def _run_subscriber(unit: Unit, fn, queue: asyncio.Queue,
                           router: _Router) -> None:
+    peak = 0
     while True:
+        depth = queue.qsize()
+        if depth > peak:
+            # High-watermark observability: a large peak on an unbounded
+            # edge means the consumer lagged and messages piled up in
+            # memory (each raw 40 ms packet is ~41 KB).
+            peak = depth
+            queue._dss_peak = peak
         message = await queue.get()
         if message is _SHUTDOWN:
             queue.task_done()
@@ -350,6 +358,17 @@ async def run_system_async(system: System,
             await q.put(_SHUTDOWN)
         for _q, t in sub_tasks:
             await t
+        peaks = {}
+        for u in units:
+            for stream, _fn in handler_map[u]:
+                if stream is None:
+                    continue
+                q = sub_queues[(id(u), id(stream))]
+                peak = getattr(q, "_dss_peak", 0)
+                if peak > 4:
+                    peaks[type(u).__name__] = peak
+        if peaks:
+            logger.info(f"queue high-watermarks (messages): {peaks}")
     finally:
         for t in source_tasks:
             if not t.done():
