@@ -430,6 +430,20 @@ def main() -> None:
         except Exception as e:  # Pallas path requires a real TPU backend
             _log(f"pallas vocoder bench unavailable: {e}")
 
+    if not fast:
+        try:
+            # Shipped bunched checkpoint, 64-way batched (one-hot kernel).
+            from dss_tpu.vocoder import packaged_weights_bunched
+
+            b2w = packaged_weights_bunched(2)
+            if b2w is not None:
+                a2 = _bench_vocoder(n_frames=50, batch=64, use_pallas=True,
+                                    weights=b2w)
+                if pal64 is None or a2["rtf_device"] > pal64["rtf_device"]:
+                    pal64 = a2
+        except Exception as e:
+            _log(f"bunched aggregate bench unavailable: {e}")
+
     scan1 = _bench_vocoder(n_frames=100, batch=1, use_pallas=False)
     _set_headline(scan1)
     _PARTIAL["extra"]["vocoder_scan_rtf_device"] = \
