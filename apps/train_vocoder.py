@@ -113,7 +113,12 @@ def main() -> None:
 
     rng = np.random.default_rng(args.seed)
     steps_per_epoch = max(1, len(feats) // args.batch)
+    # Pruning ramps from 25% to 80% of the run: the final 20% of epochs
+    # train AT target density (recovery window).  A schedule that prunes
+    # until the last epoch ends on un-recovered weights — a 500-epoch run
+    # finished at 6.2 dB while its mid-ramp epochs scored 4.5 dB.
     prune_start = args.epochs // 4
+    prune_end = max(prune_start + 1, (args.epochs * 4) // 5)
     best_score = float("inf")
     for epoch in range(start_epoch, args.epochs):
         order = rng.permutation(len(feats))
@@ -131,7 +136,7 @@ def main() -> None:
         # Progressive sparsification from 100% down to the target density.
         if epoch >= prune_start and args.density < 1.0:
             progress = min(1.0, (epoch - prune_start + 1)
-                           / max(1, args.epochs - prune_start))
+                           / max(1, prune_end - prune_start))
             density = 1.0 - (1.0 - args.density) * progress
             params = trainer.sparsify(params, density)
         else:
