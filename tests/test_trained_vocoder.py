@@ -71,8 +71,9 @@ def test_bunched_weights_load_sparse_and_infer_bunch(bunch):
 def test_bunched_roundtrip_quality_floor(held_out_audio, bunch):
     """The shipped bunched checkpoints (S samples per sample-rate step,
     ~1.3x / ~1.6x faster synthesis) must stay within the same quality
-    floor as the bunch=1 checkpoint.  Measured at ship time: 5.2 dB
-    (bunch=2), 5.0-5.7 dB (bunch=4); bunch=1: 4.4 dB; DSP: ~19 dB."""
+    floor as the bunch=1 checkpoint.  Measured at ship time: 4.2-4.9 dB
+    (bunch=2, recovery-window schedule + best-by-val), ~5 dB (bunch=4);
+    bunch=1: 4.4 dB; DSP: ~19 dB."""
     from dss_tpu.eval.quality import score_roundtrip
     from dss_tpu.vocoder import LPCNet
 
