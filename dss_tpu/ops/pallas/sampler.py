@@ -16,8 +16,15 @@ the whole synthesis call:
   pitch-correlation-dependent sharpening, or greedy argmax when
   ``temperature < 0`` is passed (used by equivalence tests).
 
-Weights footprint: GRU-A (512x1152 + 384x1152) + embeddings (3 x 256x128)
-+ GRU-B / output heads ~= 5 MB f32 — comfortably VMEM-resident.
+Weights footprint (bunch=1): fused embedding tables (3 x 256 x 1152 bf16)
++ GRU-A recurrent slab + GRU-B / output heads ~= 3 MB — comfortably
+VMEM-resident; the bunched kernel (see ``sampler_frames_bunched_pallas``)
+grows the table set to 2S+1 and stays inside VMEM through bunch=8.
+
+Profiling: ``tools/sampler_microbench.py`` (A/B variants and per-stage
+``--ablate``).  At B=1 the kernel is LATENCY-bound on its loop-carried op
+chain — ops off that chain (prng, output stores) are free, cross-lane
+reductions and MXU dispatches on it cost ~0.1-0.2 us each.
 """
 
 from __future__ import annotations
