@@ -352,9 +352,12 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
     # lines ready to paste from observed log.vad.lab distributions).
     segment_length_multiple = optional(
         "Decoding", "segment_length_multiple", int) or 50
-    segment_prewarm_frames = optional(
-        "Decoding", "segment_prewarm_frames",
-        lambda v: tuple(json.loads(v))) or (50, 150, 200, 250, 300)
+    # None means "key absent" — an explicitly configured empty list ([])
+    # disables prewarming rather than falling back to the defaults.
+    prewarm_raw = optional("Decoding", "segment_prewarm_frames",
+                           lambda v: tuple(json.loads(v)))
+    segment_prewarm_frames = ((50, 150, 200, 250, 300)
+                              if prewarm_raw is None else prewarm_raw)
 
     base_out_dir = settings_config.get("Decoding", "base_out_dir")
     destination_dir = os.path.join(base_out_dir, run_name)

@@ -109,7 +109,11 @@ def main() -> None:
     if args.resume and os.path.exists(state_path):
         params, opt_state, extra = load_train_state(state_path)
         start_epoch = int(extra.get("epoch", 0))
-        logger.info(f"Resumed from {state_path} at epoch {start_epoch}")
+        resumed_best = float(extra.get("best_score", float("inf")))
+        logger.info(f"Resumed from {state_path} at epoch {start_epoch} "
+                    f"(best val score so far: {resumed_best:.2f} dB)")
+    else:
+        resumed_best = float("inf")
 
     rng = np.random.default_rng(args.seed)
     steps_per_epoch = max(1, len(feats) // args.batch)
@@ -119,7 +123,9 @@ def main() -> None:
     # finished at 6.2 dB while its mid-ramp epochs scored 4.5 dB.
     prune_start = args.epochs // 4
     prune_end = max(prune_start + 1, (args.epochs * 4) // 5)
-    best_score = float("inf")
+    # Carried across --resume so a resumed run can't overwrite
+    # vocoder_best.npz with a worse checkpoint than one scored pre-interrupt.
+    best_score = resumed_best
     for epoch in range(start_epoch, args.epochs):
         order = rng.permutation(len(feats))
         losses = []
@@ -148,8 +154,6 @@ def main() -> None:
         )
         np.savez(os.path.join(args.out_dir, "vocoder.npz"),
                  **{k: np.asarray(v) for k, v in params.items()})
-        save_train_state(state_path, params, opt_state,
-                         extra={"epoch": epoch + 1})
 
         if args.val_wav and (epoch + 1) % max(1, args.score_every) == 0:
             from dss_tpu.eval.quality import score_roundtrip
@@ -182,6 +186,10 @@ def main() -> None:
                 logger.info(
                     f"Epoch {epoch + 1:>03}: new best val score — saved "
                     f"vocoder_best.npz")
+
+        # Saved after validation so a resume sees the epoch's best_score.
+        save_train_state(state_path, params, opt_state,
+                         extra={"epoch": epoch + 1, "best_score": best_score})
 
     logger.info(f"Saved weights to {os.path.join(args.out_dir, 'vocoder.npz')}")
     if best_score < float("inf"):

@@ -40,16 +40,34 @@ def _apply_platform_env() -> None:
     Some deployments force-register a remote accelerator plugin via
     sitecustomize and PREPEND it to jax_platforms, so a plain JAX_PLATFORMS
     env var cannot win; an explicit jax.config update (before the first
-    backend use) can.  No-op when the variable is unset or jax is already
-    initialized."""
+    backend use) can.  No-op when the variable is unset; if a backend was
+    already initialized before this import, the request cannot take effect
+    and a warning is emitted instead."""
     import os
 
     platform = os.environ.get("DSS_PLATFORM")
     if not platform:
         return
+    import warnings
+
     import jax
 
-    jax.config.update("jax_platforms", platform)
+    try:
+        from jax._src import xla_bridge
+
+        already = xla_bridge.backends_are_initialized()
+    except (ImportError, AttributeError):  # private API moved — best effort
+        already = False
+    if already:
+        warnings.warn(
+            f"DSS_PLATFORM={platform} ignored: a JAX backend was initialized "
+            "before dss_tpu was imported", RuntimeWarning, stacklevel=2)
+        return
+    try:
+        jax.config.update("jax_platforms", platform)
+    except Exception as exc:  # pragma: no cover - config surface changes
+        warnings.warn(f"DSS_PLATFORM={platform} not applied: {exc}",
+                      RuntimeWarning, stacklevel=2)
 
 
 _apply_platform_env()

@@ -89,7 +89,9 @@ class HighGammaExtractor:
         self.post_transform = _compose(post_transforms)
 
         if not ((60 < l_freq < 120) or (120 < h_freq < 180)):
-            logger.warning("l_freq and h_freq seem not to be in the recommended ranges!!")
+            logger.warning(
+                "band edges (%s-%s Hz) fall outside the usual high-gamma range",
+                l_freq, h_freq)
 
         bp = design_bandpass(fs, l_freq, h_freq, order=8)
         bs = design_bandstop(fs, 118, 122, order=8)

@@ -1,14 +1,16 @@
 """Mel filterbank and Kaldi-style energy VAD for corpus preparation.
 
-Parity targets: reference local/common.py:475-553 (``MelFilterBank`` with
-pseudo-inverse and log-mel helpers) and :556-671 (``EnergyBasedVad``):
-wav -> hann/rFFT spectrogram (50 ms window, 10 ms shift, /2^15 scaling) ->
-40 log-mels -> DCT-II MFCCs -> threshold ``scale * mean(MFCC0) + thr`` with
-±5-frame context and 0.6 proportion; ``.lab`` export.
+Parity targets: reference local/common.py:475-553 (triangular mel filterbank
+with a normalized-transpose inverse and log-mel helpers) and :556-671 (energy
+VAD): wav -> hann/rFFT spectrogram (50 ms window, 10 ms shift, /2^15 scaling)
+-> 40 log-mels -> DCT-II MFCCs -> threshold ``scale * mean(MFCC0) + thr``
+with an asymmetric [t-5, t+5) context window and 0.6 proportion; ``.lab``
+export.
 
-These run at corpus-preparation time on acoustic audio; formulas are kept
-numerically identical to the reference (numpy, float64) since they define
-training labels.
+The implementation here is vectorized numpy (no per-band / per-frame Python
+loops); only the *numbers* match the reference, which defines the training
+labels.  The reference's camelCase method names are kept as aliases so code
+migrating from ``local.common`` keeps working (see MIGRATION.md).
 """
 
 from __future__ import annotations
@@ -19,83 +21,94 @@ import numpy as np
 from scipy.fftpack import dct
 
 
+def hz_to_mel(freq: float) -> float:
+    """O'Shaughnessy mel scale (the variant the labels were built with)."""
+    return 2595.0 * math.log10(1.0 + freq / 700.0)
+
+
+def mel_to_hz(mel: np.ndarray) -> np.ndarray:
+    return 700.0 * (np.power(10.0, np.asarray(mel) / 2595.0) - 1.0)
+
+
+def _zap_nonfinite(x: np.ndarray) -> np.ndarray:
+    """Replace NaN/Inf in-place with 0 and return the array."""
+    x[~np.isfinite(x)] = 0.0
+    return x
+
+
 class MelFilterBank:
-    """Triangular mel filterbank with best-effort (transpose) inverse."""
+    """Triangular mel filterbank with a normalized-transpose inverse.
 
-    def __init__(self, specSize: int, numCoefficients: int, sampleRate: float):
-        numBands = int(numCoefficients)
+    Band edges are laid out uniformly on the mel axis between 0 and
+    ``hz_to_mel(sample_rate / 2)``, snapped to spectrogram bins via
+    ``floor(hz) / (sr/2) * spec_size`` (two nested floors — an idiosyncrasy
+    of the label-generating code that must be preserved for parity).  The
+    forward matrix is column-normalized; the "inverse" is the normalized
+    transpose, good enough for the coarse spectral envelopes the VAD needs.
+    """
 
-        maxMel = self.freqToMel(sampleRate / 2.0)
-        melStep = maxMel / (numBands + 1)
-        melFilterEdges = np.arange(numBands + 2) * melStep
+    def __init__(self, spec_size: int, num_bands: int, sample_rate: float):
+        num_bands = int(num_bands)
+        self.spec_size = int(spec_size)
+        self.num_bands = num_bands
+        self.sample_rate = float(sample_rate)
 
-        centerIndices = [
-            self.freqToBin(math.floor(self.melToFreq(m)), sampleRate, specSize)
-            for m in melFilterEdges
-        ]
-
-        filterMatrix = np.zeros((numBands, specSize))
-        for i in range(numBands):
-            start, center, end = centerIndices[i:i + 3]
-            k1 = float(center - start)
-            k2 = float(end - center)
-            if k1 > 0:
-                up = (np.arange(start, center) - start) / k1
-                filterMatrix[i][start:center] = up
-            if k2 > 0:
-                down = (end - np.arange(center, end)) / k2
-                filterMatrix[i][center:end] = down
-
-        self.melMatrix = filterMatrix.transpose()
-        self.melMatrix = self.makeNormal(self.melMatrix / self.normSum(self.melMatrix))
-
-        self.melInvMatrix = self.melMatrix.transpose()
-        self.melInvMatrix = self.makeNormal(
-            self.melInvMatrix / self.normSum(self.melInvMatrix)
+        mel_edges = np.arange(num_bands + 2) * (
+            hz_to_mel(sample_rate / 2.0) / (num_bands + 1)
         )
+        hz_edges = np.floor(mel_to_hz(mel_edges))
+        bin_edges = np.floor(hz_edges / (sample_rate / 2.0) * spec_size).astype(int)
+
+        lo = bin_edges[:-2, None]    # [bands, 1] triangle start bin
+        mid = bin_edges[1:-1, None]  # triangle peak bin
+        hi = bin_edges[2:, None]     # triangle end bin (exclusive)
+        bins = np.arange(spec_size)[None, :]
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rising = (bins - lo) / (mid - lo).astype(float)
+            falling = (hi - bins) / (hi - mid).astype(float)
+        tri = np.where(
+            (bins >= lo) & (bins < mid), rising,
+            np.where((bins >= mid) & (bins < hi), falling, 0.0),
+        )
+        tri = _zap_nonfinite(tri)  # degenerate (zero-width) triangle slopes
+
+        self.forward = _zap_nonfinite(tri.T / self._safe_colsum(tri.T))
+        self.inverse = _zap_nonfinite(self.forward.T / self._safe_colsum(self.forward.T))
 
     @staticmethod
-    def normSum(x: np.ndarray) -> np.ndarray:
-        retSum = np.sum(x, axis=0)
-        retSum[retSum == 0] = 1.0
-        return retSum
+    def _safe_colsum(x: np.ndarray) -> np.ndarray:
+        s = x.sum(axis=0)
+        return np.where(s == 0.0, 1.0, s)
 
-    @staticmethod
-    def fuzz(x: np.ndarray) -> np.ndarray:
-        return x + 1e-7
+    # -- core API ----------------------------------------------------------
+    def to_mels(self, spectrogram: np.ndarray) -> np.ndarray:
+        return spectrogram @ self.forward
 
-    @staticmethod
-    def freqToBin(freq: float, sampleRate: float, specSize: int) -> int:
-        return int(math.floor((freq / (sampleRate / 2.0)) * specSize))
+    def from_mels(self, mel_spectrogram: np.ndarray) -> np.ndarray:
+        return mel_spectrogram @ self.inverse
 
-    @staticmethod
-    def freqToMel(freq: float) -> float:
-        return 2595.0 * math.log10(1.0 + freq / 700.0)
+    def to_log_mels(self, spectrogram: np.ndarray) -> np.ndarray:
+        return _zap_nonfinite(np.log(self.to_mels(spectrogram) + 1e-7))
 
-    @staticmethod
-    def melToFreq(mel: float) -> float:
-        return 700.0 * (math.pow(10.0, mel / 2595.0) - 1.0)
+    def from_log_mels(self, log_mel_spectrogram: np.ndarray) -> np.ndarray:
+        return _zap_nonfinite(self.from_mels(np.exp(log_mel_spectrogram)))
 
-    @staticmethod
-    def makeNormal(x: np.ndarray) -> np.ndarray:
-        x[np.isnan(x)] = 0
-        x[np.isinf(x)] = 0
-        return x
+    # -- reference-surface aliases (MIGRATION.md) --------------------------
+    @property
+    def melMatrix(self) -> np.ndarray:  # noqa: N802
+        return self.forward
 
-    def toMelScale(self, spectrogram: np.ndarray) -> np.ndarray:
-        return spectrogram @ self.melMatrix
+    @property
+    def melInvMatrix(self) -> np.ndarray:  # noqa: N802
+        return self.inverse
 
-    def fromMelScale(self, melSpectrogram: np.ndarray) -> np.ndarray:
-        return melSpectrogram @ self.melInvMatrix
-
-    toMels = toMelScale
-    fromMels = fromMelScale
-
-    def toLogMels(self, spectrogram: np.ndarray) -> np.ndarray:
-        return self.makeNormal(np.log(self.fuzz(self.toMelScale(spectrogram))))
-
-    def fromLogMels(self, melSpectrogram: np.ndarray) -> np.ndarray:
-        return self.makeNormal(self.fromMelScale(np.exp(melSpectrogram)))
+    toMels = to_mels
+    fromMels = from_mels
+    toMelScale = to_mels
+    fromMelScale = from_mels
+    toLogMels = to_log_mels
+    fromLogMels = from_log_mels
 
 
 class EnergyBasedVad:
@@ -125,7 +138,7 @@ class EnergyBasedVad:
         spectrogram = np.fft.rfft(win * segments, axis=1)
 
         mfb = MelFilterBank(spectrogram.shape[1], 40, sampling_rate)
-        log_mels = mfb.toLogMels(np.abs(spectrogram))
+        log_mels = mfb.to_log_mels(np.abs(spectrogram))
         return self.from_log_mels(log_mels=log_mels)
 
     def from_log_mels(self, log_mels: np.ndarray) -> np.ndarray:
@@ -149,17 +162,17 @@ class EnergyBasedVad:
         assert self.vad_frames_context >= 0
         assert 0.0 < self.vad_proportion_threshold < 1
 
-        # Window [t - ctx, t + ctx) — the reference's asymmetric range.
+        # Asymmetric context window [t - ctx, t + ctx), clipped to the
+        # signal, judged by proportion of above-threshold frames.  Windowed
+        # counts via a prefix sum — no per-frame loop.
         ctx = self.vad_frames_context
-        above = (log_energy > energy_threshold).astype(np.float64)
-        output = np.empty(n, dtype=bool)
-        for t in range(n):
-            lo = max(0, t - ctx)
-            hi = min(n, t + ctx)
-            den = hi - lo
-            num = above[lo:hi].sum()
-            output[t] = num >= den * self.vad_proportion_threshold
-        return output
+        above = (log_energy > energy_threshold).astype(np.int64)
+        prefix = np.concatenate([[0], np.cumsum(above)])
+        t = np.arange(n)
+        lo = np.maximum(0, t - ctx)
+        hi = np.minimum(n, t + ctx)
+        counts = prefix[hi] - prefix[lo]
+        return counts >= (hi - lo) * self.vad_proportion_threshold
 
     def convert_vad_to_lab(self, filename: str, vad: np.ndarray) -> None:
         last_i = None

@@ -416,8 +416,15 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                 # Tie-free argmax: with continuous Gumbel noise the maximum
                 # is unique (measure zero otherwise), so ONE cross-lane max
                 # + an MXU dot of the 0/1 mask against the lane iota
-                # replaces the second (min) cross-lane reduction.  Clamp
-                # guards the measure-zero tie case (sum of tied indices).
+                # replaces the second (min) cross-lane reduction.  On a tie
+                # the dot sums the tied indices; the clamp only bounds the
+                # result, it does NOT reproduce argmax's lowest-index rule.
+                # That is fine here because (a) the production path always
+                # passes temperature >= 1 (net.py derives it from corr), so
+                # this branch always has noise, and (b) exact-equivalence
+                # runs (greedy, temp < 0) must compile with stochastic=False
+                # to get the min-reduction form below.  Exact logit ties
+                # WITH noise remain measure-zero.
                 m = jnp.max(scores, axis=1, keepdims=True)
                 hit = (scores >= m).astype(jnp.float32)
                 new_exc = jnp.minimum(

@@ -45,26 +45,44 @@ class VoiceActivityDetectionSmoothing:
 
     def insert(self, data: np.ndarray, speech_labels: np.ndarray
                ) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized per-packet update, equivalent to inserting one frame at
+        a time.
+
+        Unrolling the ring into write order (oldest surviving entry first)
+        turns the sequential pointer machine into sliding-window sums: after
+        the i-th insert the buffer holds timeline slots ``[i+1, i+W]``, the
+        majority vote is a prefix-sum difference over that span, and the
+        delayed read (``2*context`` behind the write) is timeline slot
+        ``i+1``.  This sits on the per-packet critical path of the online
+        graph, so no per-frame Python loop.
+        """
         n = len(speech_labels)
-        out_labels = np.zeros(n, dtype=bool)
-        out_data = np.zeros((n, self.nb_features), dtype=np.float32)
-        for i in range(n):
-            self.labels[self.write_pointer] = speech_labels[i]
-            self.buffer[self.write_pointer, :] = data[i]
+        w = self.buffer_size
+        order = (self.write_pointer + np.arange(w)) % w
 
-            ratio = np.count_nonzero(self.labels) / self.buffer_size
-            out_labels[i] = ratio >= self.vad_proportion_threshold
-            out_data[i, :] = self.buffer[self.read_pointer, :]
+        timeline_labels = np.concatenate(
+            [self.labels[order], np.asarray(speech_labels, dtype=bool)])
+        timeline_data = np.concatenate(
+            [self.buffer[order], np.asarray(data, dtype=np.float32)], axis=0)
 
-            self.write_pointer = (self.write_pointer + 1) % self.buffer_size
-            self.read_pointer = (self.read_pointer + 1) % self.buffer_size
+        prefix = np.concatenate([[0], np.cumsum(timeline_labels)])
+        counts = prefix[w + 1 + np.arange(n)] - prefix[1 + np.arange(n)]
+        out_labels = counts / w >= self.vad_proportion_threshold
+        out_data = timeline_data[1:n + 1].copy()
+
+        self.write_pointer = (self.write_pointer + n) % w
+        self.read_pointer = (self.read_pointer + n) % w
+        restore = (self.write_pointer + np.arange(w)) % w
+        self.labels[restore] = timeline_labels[n:n + w]
+        self.buffer[restore] = timeline_data[n:n + w]
         return out_data, out_labels
 
     def __repr__(self) -> str:
+        delay_s = floor(self.buffer_size / 2) * self.frameshift
         return (
-            f"VAD Smoothing(Window size: {self.buffer_size * self.frameshift:.02f} s "
-            f"(introduced delay: {floor(self.buffer_size / 2) * self.frameshift} s), "
-            f"requires {self.vad_proportion_threshold * 100:.01f}% of frames to be speech)"
+            f"VoiceActivityDetectionSmoothing(window={self.buffer_size} frames"
+            f" / {self.buffer_size * self.frameshift:.02f} s, label delay"
+            f" ~{delay_s} s, majority>={self.vad_proportion_threshold:.02f})"
         )
 
 

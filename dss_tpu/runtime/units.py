@@ -806,6 +806,14 @@ class FusedDecoderVocoder(Unit):
                 # carried vocoder state never consumes masked-garbage
                 # conditioning.  mask is 1s then 0s; the last valid frame is
                 # picked with a one-hot reduction (no dynamic indexing).
+                # NB the carried vocoder state DOES advance over the pad
+                # tail (< length_multiple frames of held conditioning).  The
+                # last valid frame of every segment is trailing-context
+                # silence (segments end with `context` non-speech frames,
+                # reference local/common.py:156-215), so the drift is "a
+                # little more silence synthesis" — matching the separate
+                # DelayedLPCNetVocoder chain, and decayed long before the
+                # next word's onset (>= 0.5 s later by construction).
                 nxt = jnp.concatenate(
                     [mask[:, 1:], jnp.zeros_like(mask[:, :1])], axis=1)
                 last_ind = mask * (1.0 - nxt)

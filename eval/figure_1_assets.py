@@ -31,6 +31,20 @@ def _style_box(ax):
     ax.set_facecolor("white")
 
 
+def _time_scale_bar(ax, x0: float, x1: float, y: float, label: str):
+    """Draw a capped double-arrow time scale bar below the raster (the paper
+    figure's embellishment), e.g. spanning 100 frames = 1 s at 100 Hz."""
+    from matplotlib.patches import ArrowStyle
+
+    for style in (ArrowStyle("|-|", widthA=0.5, widthB=0.5, angleA=0, angleB=0),
+                  ArrowStyle("<->", widthA=0.5, widthB=0.5, angleA=0, angleB=0)):
+        ax.annotate("", xy=(x0, y), xytext=(x1, y), annotation_clip=False,
+                    arrowprops=dict(arrowstyle=style, shrinkA=0, shrinkB=0,
+                                    linewidth=1.0, color="black"))
+    ax.annotate(label, xy=((x0 + x1) / 2, y - 4), zorder=10, color="black",
+                ha="center", annotation_clip=False)
+
+
 def render_hga_feature_computation_plot(data_snippet: np.ndarray,
                                         out_filename: Optional[Path] = None,
                                         dpi: int = 300,
@@ -43,6 +57,7 @@ def render_hga_feature_computation_plot(data_snippet: np.ndarray,
     ax.set_yticklabels([1, 82])
     ax.set_ylabel("Selected Channels", labelpad=-10)
     ax.set_title(title)
+    _time_scale_bar(ax, 20, 120, -4, "1 s")
     _style_box(ax)
     plt.tight_layout()
     _emit(fig, out_filename, dpi)
