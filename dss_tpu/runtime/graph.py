@@ -179,11 +179,20 @@ class System:
 
     def __init__(self, settings: Optional[Settings] = None):
         self.SETTINGS = settings
-        # Bind per-instance copies of the class-level units so two systems
-        # don't share state.
+        # Bind per-instance COPIES of the class-level units so two systems
+        # never share mutable unit state.  Class-declared units are
+        # prototypes (mirroring the reference's `CONNECTOR = ZMQConnector()`
+        # style); each System instance re-instantiates them, falling back to
+        # a deep copy for unit classes with a custom constructor signature.
+        import copy
+
         for name, value in list(vars(type(self)).items()):
             if isinstance(value, Unit):
-                setattr(self, name, value)
+                try:
+                    clone = type(value)(settings=value.SETTINGS)
+                except TypeError:
+                    clone = copy.deepcopy(value)
+                setattr(self, name, clone)
 
     def configure(self) -> None:  # noqa: B027
         pass
@@ -294,6 +303,32 @@ class _Shutdown:
 _SHUTDOWN = _Shutdown()
 
 
+def _topo_order(units: List[Unit], edges) -> Optional[List[Unit]]:
+    """Kahn topological order of units over the edge graph (declaration
+    order among ready units, for determinism).  Returns None on a cycle."""
+    from collections import deque
+
+    by_id = {id(u): u for u in units}
+    adj: Dict[int, set] = {id(u): set() for u in units}
+    indeg: Dict[int, int] = {id(u): 0 for u in units}
+    for src, dst in edges:
+        a, b = id(src.unit), id(dst.unit)
+        if a in adj and b in adj and a != b and b not in adj[a]:
+            adj[a].add(b)
+            indeg[b] += 1
+
+    ready = deque(id(u) for u in units if indeg[id(u)] == 0)
+    out: List[Unit] = []
+    while ready:
+        n = ready.popleft()
+        out.append(by_id[n])
+        for m in adj[n]:
+            indeg[m] -= 1
+            if indeg[m] == 0:
+                ready.append(m)
+    return out if len(out) == len(units) else None
+
+
 async def run_system_async(system: System,
                            duration: Optional[float] = None) -> None:
     system.configure()
@@ -342,18 +377,36 @@ async def run_system_async(system: System,
                     )
 
         if duration is not None:
-            done, pending = await asyncio.wait(
-                source_tasks, timeout=duration
-            ) if source_tasks else (set(), set())
+            if source_tasks:
+                done, pending = await asyncio.wait(
+                    source_tasks, timeout=duration)
+                # "Run for N seconds" means stop ingesting at N: cancel the
+                # still-running sources BEFORE draining, so the drain below
+                # is exact (no publishes race the queue joins).
+                for t in pending:
+                    t.cancel()
+                await asyncio.gather(*pending, return_exceptions=True)
         else:
             if source_tasks:
                 await asyncio.gather(*source_tasks)
 
-        # Sources finished (or duration elapsed): drain and stop subscribers
-        # in topological best-effort order (repeatedly join all queues).
-        for _ in range(len(units) + 1):
-            for q, _t in sub_tasks:
-                await q.join()
+        # Sources finished: drain subscribers in topological order.  Joining
+        # a unit's input queues only after every upstream unit has fully
+        # drained guarantees no message is stranded, regardless of pipeline
+        # depth or handlers that re-publish during the drain (publishes
+        # happen before task_done, so downstream queues see them before
+        # their own join).  A cyclic graph (none in this repo) falls back to
+        # repeated sweeps.
+        order = _topo_order(units, edges)
+        if order is not None:
+            for u in order:
+                for stream, _fn in handler_map[u]:
+                    if stream is not None:
+                        await sub_queues[(id(u), id(stream))].join()
+        else:
+            for _ in range(len(units) + 1):
+                for q, _t in sub_tasks:
+                    await q.join()
         for q, _t in sub_tasks:
             await q.put(_SHUTDOWN)
         for _q, t in sub_tasks:

@@ -226,3 +226,77 @@ def test_bounded_input_applies_backpressure():
     assert system.SLOW.seen == list(range(30))  # in order, none lost
     # maxsize=2 queue + 1 in-flight: the source never leads by more.
     assert system.SLOW.max_lead <= 3, system.SLOW.max_lead
+
+
+def test_systems_do_not_share_units():
+    """Class-declared units are prototypes: every System instance must get
+    its own copies, so two systems never alias mutable unit state."""
+    a, b = _PipeSystem(), _PipeSystem()
+    assert a.SINK is not b.SINK
+    assert a.SOURCE is not b.SOURCE
+    assert a.SINK is not _PipeSystem.SINK  # prototype itself stays untouched
+    ez.run_system(a)
+    ez.run_system(b)
+    assert a.SINK.items == [0, 2, 4, 6, 8]
+    assert b.SINK.items == [0, 2, 4, 6, 8]  # not doubled-up shared state
+
+
+def test_concurrent_systems_isolated():
+    """Two systems running in ONE event loop keep isolated unit state."""
+
+    async def both():
+        a, b = _PipeSystem(), _PipeSystem()
+        from dss_tpu.runtime.graph import run_system_async
+
+        await asyncio.gather(run_system_async(a), run_system_async(b))
+        return a, b
+
+    a, b = asyncio.run(both())
+    assert a.SINK.items == [0, 2, 4, 6, 8]
+    assert b.SINK.items == [0, 2, 4, 6, 8]
+    assert a.TAP.items == [0, 1, 2, 3, 4]
+    assert b.TAP.items == [0, 1, 2, 3, 4]
+
+
+class _Fanner(ez.Unit):
+    """Re-publishes each message twice — amplification during drain."""
+
+    INPUT = ez.InputStream(TimeSeriesMessage)
+    OUTPUT = ez.OutputStream(TimeSeriesMessage)
+
+    @ez.subscriber(INPUT)
+    @ez.publisher(OUTPUT)
+    async def process(self, msg):
+        yield self.OUTPUT, msg
+        yield self.OUTPUT, msg
+
+
+class _DeepChainSystem(ez.System):
+    """Pipeline DEEPER than the unit count +1 sweep the old drain did:
+    6 amplifying hops strand messages under a fixed-sweep heuristic if any
+    handler re-publishes while the drain is in progress."""
+
+    SOURCE = _NumberSource()
+    F1 = _Fanner()
+    F2 = _Fanner()
+    F3 = _Fanner()
+    F4 = _Fanner()
+    F5 = _Fanner()
+    F6 = _Fanner()
+    SINK = _Collector()
+
+    def configure(self):
+        self.SOURCE.apply_settings(_NumberSourceSettings(count=3))
+
+    def network(self):
+        hops = [self.SOURCE, self.F1, self.F2, self.F3, self.F4, self.F5,
+                self.F6, self.SINK]
+        return tuple((a.OUTPUT, b.INPUT) for a, b in zip(hops, hops[1:]))
+
+
+def test_topological_drain_deep_pipeline():
+    system = _DeepChainSystem()
+    ez.run_system(system)
+    # 3 source messages, each amplified 2x over 6 hops = 3 * 64.
+    assert len(system.SINK.items) == 3 * 2 ** 6
+    assert sorted(set(system.SINK.items)) == [0, 1, 2]
