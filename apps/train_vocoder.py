@@ -68,14 +68,20 @@ def main() -> None:
                              "factor is baked into the checkpoint and "
                              "picked up automatically at load time.")
     parser.add_argument("--val-wav", default=None,
-                        help="Held-out 16 kHz wav: every --score-every "
-                             "epochs, run a FREE-RUNNING encode->synthesize "
-                             "round trip on it and log the Bark-cepstral "
-                             "distortion. Teacher-forced CE is blind to "
-                             "free-running quality (it can keep improving "
-                             "while synthesis is still noise, and the big "
-                             "quality gains land late), so gate releases on "
-                             "this score, not the loss.")
+                        help="Held-out 16 kHz wav OR a directory of wavs: "
+                             "every --score-every epochs, run a "
+                             "FREE-RUNNING encode->synthesize round trip "
+                             "and log the Bark-cepstral distortion (mean "
+                             "over wavs when a directory — per-utterance "
+                             "scores vary +-1.5 dB, the mean is the gate). "
+                             "Teacher-forced CE is blind to free-running "
+                             "quality (it can keep improving while "
+                             "synthesis is still noise, and the big "
+                             "quality gains land late), so gate releases "
+                             "on this score, not the loss.")
+    parser.add_argument("--val-max-wavs", type=int, default=6,
+                        help="Cap on wavs scored per round when --val-wav "
+                             "is a directory.")
     parser.add_argument("--score-every", type=int, default=10,
                         help="Epoch interval for --val-wav scoring.")
     parser.add_argument("--resume", action="store_true",
@@ -159,14 +165,31 @@ def main() -> None:
             from dss_tpu.eval.quality import score_roundtrip
             from dss_tpu.vocoder import LPCNet
 
-            fs, val_audio = read_wav(args.val_wav)
-            vocoder = LPCNet(backend="net", model=model,
-                             weights={k: jnp.asarray(v)
-                                      for k, v in params.items()})
-            report = score_roundtrip(val_audio[: 16000 * 2], vocoder)
+            if os.path.isdir(args.val_wav):
+                val_paths = sorted(
+                    str(p) for p in Path(args.val_wav).glob("*.wav")
+                )[: max(1, args.val_max_wavs)]
+            else:
+                val_paths = [args.val_wav]
+            dists, snrs = [], []
+            for vp in val_paths:
+                fs, val_audio = read_wav(vp)
+                vocoder = LPCNet(backend="net", model=model,
+                                 weights={k: jnp.asarray(v)
+                                          for k, v in params.items()})
+                r = score_roundtrip(val_audio[: 16000 * 2], vocoder)
+                dists.append(r.cepstral_distance_db)
+                snrs.append(r.band_level_snr_db)
+
+            class _Report:
+                cepstral_distance_db = float(np.mean(dists))
+                band_level_snr_db = float(np.mean(snrs))
+
+            report = _Report()
             logger.info(
                 f"Epoch {epoch + 1:>03}: free-running val distortion "
-                f"{report.cepstral_distance_db:.2f} dB "
+                f"{report.cepstral_distance_db:.2f} dB mean over "
+                f"{len(val_paths)} wav(s) "
                 f"(band SNR {report.band_level_snr_db:.2f} dB)"
             )
             # Best-by-VALIDATION checkpoint (mirrors StoreBestModel's
