@@ -793,7 +793,10 @@ class FusedDecoderVocoder(Unit):
                                else LPCNetModel())
             if self._voc_params is None:
                 self._voc_params = self._voc_model.init(jax.random.PRNGKey(0))
-            use_pallas = jax.default_backend() != "cpu"
+            from ..vocoder.lpcnet import params_require_scan
+
+            use_pallas = (jax.default_backend() != "cpu"
+                          and not params_require_scan(self._voc_params))
             sparse = _sparse_pattern_of(self._voc_params, use_pallas)
             self._voc_state = net_vocoder_init(self._voc_model, batch=1)
             decoder, voc_model = self._model, self._voc_model

@@ -140,15 +140,34 @@ class LPCNetModel:
         x = features
         B, T, F = x.shape
 
-        def causal_conv(x, w, b, width):
-            pads = [x[:, :1] * 0.0] * (width - 1)
-            xp = jnp.concatenate(pads + [x], axis=1)
+        # Imported xiph-LPCNet checkpoints (vocoder/interop.py) carry an
+        # ``emb_pitch`` table: the frame net there sees
+        # concat(features, embed_pitch(period)) with SAME-padded convs
+        # (upstream lpcnet.py uses padding='same'); our native models use
+        # the 20 features directly with causal convs.  Both run through the
+        # same code, switched on the presence of the table.
+        same_pad = "emb_pitch" in params
+        if same_pad:
+            period_idx = jnp.clip(
+                jnp.round(50.0 * x[..., 18] + 100.0), 0, MULAW_LEVELS - 1
+            ).astype(jnp.int32)
+            x = jnp.concatenate([x, params["emb_pitch"][period_idx]], axis=-1)
+
+        def conv3(x, w, b, width):
+            if same_pad:
+                left = (width - 1) // 2
+                pads_l = [x[:, :1] * 0.0] * left
+                pads_r = [x[:, :1] * 0.0] * (width - 1 - left)
+                xp = jnp.concatenate(pads_l + [x] + pads_r, axis=1)
+            else:
+                xp = jnp.concatenate([x[:, :1] * 0.0] * (width - 1) + [x],
+                                     axis=1)
             cols = [xp[:, i:i + T] for i in range(width)]
             stacked = jnp.concatenate(cols, axis=-1)  # [B, T, width*F]
             return jnp.tanh(stacked @ w + b)
 
-        h = causal_conv(x, params["conv1_w"], params["conv1_b"], CONV_WIDTH)
-        h = causal_conv(h, params["conv2_w"], params["conv2_b"], CONV_WIDTH)
+        h = conv3(x, params["conv1_w"], params["conv1_b"], CONV_WIDTH)
+        h = conv3(h, params["conv2_w"], params["conv2_b"], CONV_WIDTH)
         h = jnp.tanh(h @ params["fc1_w"] + params["fc1_b"])
         h = jnp.tanh(h @ params["fc2_w"] + params["fc2_b"])
         return h
@@ -167,8 +186,13 @@ class LPCNetModel:
         return (1.0 - z) * n + z * h
 
     def sample_logits(self, params, h_b: jnp.ndarray) -> jnp.ndarray:
-        t1 = jnp.tanh(h_b @ params["fc_out1_w"]) * params["fc_out1_g"]
-        t2 = jnp.tanh(h_b @ params["fc_out2_w"]) * params["fc_out2_g"]
+        # Optional per-channel biases INSIDE the tanh: xiph's MDense head
+        # (imported checkpoints, vocoder/interop.py).  Native checkpoints
+        # use the shared outside bias only.
+        b1 = params.get("fc_out1_b", 0.0)
+        b2 = params.get("fc_out2_b", 0.0)
+        t1 = jnp.tanh(h_b @ params["fc_out1_w"] + b1) * params["fc_out1_g"]
+        t2 = jnp.tanh(h_b @ params["fc_out2_w"] + b2) * params["fc_out2_g"]
         return t1 + t2 + params["fc_out_b"]
 
     def sample_step(self, params, carry, cond, lpc, gumbel, temperature):
