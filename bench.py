@@ -29,6 +29,83 @@ def _log(msg: str) -> None:
 
 _RPC_FLOOR = None
 
+# -- roofline accounting ----------------------------------------------------
+#
+# Analytic FLOP/byte models per benchmark so the JSON carries %-of-peak
+# (mfu) and HBM utilization (membw_util), not just realtime multiples.
+# FLOP counts are lower bounds (matmuls + recurrences only; elementwise
+# fused ops uncounted); byte counts model one HBM read of the streamed
+# weights per compiled call (the Pallas sampler pins weights in VMEM
+# across its frame loop) plus activation I/O.
+
+_CHIP_PEAKS = {
+    # substring of device_kind -> (bf16 FLOP/s, HBM bytes/s)
+    "v5 lite": (197e12, 819e9),
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6": (918e12, 1640e9),
+    "trillium": (918e12, 1640e9),
+}
+
+
+def _peaks():
+    """(peak FLOP/s, peak HBM B/s) for the attached chip, or None on hosts
+    we have no table entry for (CPU, unknown kinds)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peaks in _CHIP_PEAKS.items():
+        if sub in kind:
+            return peaks
+    return None
+
+
+def _vocoder_flops_bytes(model, batch: int, n_frames: int,
+                         density: float = 1.0) -> tuple:
+    """(FLOPs, HBM bytes) for one net_synthesize_frames call.
+
+    Per 16 kHz sample (2 FLOPs per MAC): GRU-A input + (density-scaled)
+    recurrent matmuls, GRU-B, one dual-FC head; bunched models amortize the
+    GRUs over S samples but keep one head per sample.  Frame-rate network
+    amortized per frame.  Bytes: one bf16 weight stream per call +
+    f32 conditioning/audio I/O."""
+    ed, cd = model.embed_dim, model.cond_dim
+    ga, gb = model.gru_a_units, model.gru_b_units
+    S = model.bunch
+    n_samples = n_frames * 160
+
+    gru_a_in = (2 * S + 1) * ed + cd
+    per_step = (2 * gru_a_in * 3 * ga            # GRU-A input matmul
+                + 2 * ga * 3 * ga * density      # GRU-A recurrent (sparse)
+                + 2 * (ga + cd) * 3 * gb         # GRU-B input
+                + 2 * gb * 3 * gb)               # GRU-B recurrent
+    per_sample = per_step / S + 2 * 2 * gb * 256  # dual-FC head per sample
+    frame_net = (2 * 3 * 20 * cd + 2 * 3 * cd * cd   # two 3-tap convs
+                 + 2 * cd * cd * 2)                  # two dense layers
+    flops = batch * (n_samples * per_sample + n_frames * frame_net)
+
+    weight_elems = (gru_a_in * 3 * ga + ga * 3 * ga * density
+                    + (ga + cd) * 3 * gb + gb * 3 * gb
+                    + 2 * gb * 256 * S + 3 * 256 * ed)
+    act_bytes = batch * (n_frames * cd + n_samples) * 4
+    return flops, weight_elems * 2 + act_bytes
+
+
+def _attach_roofline(res: dict, flops: float, bytes_: float,
+                     audio_seconds: float) -> None:
+    """Derive mfu/membw_util from the device-time estimate in ``res``."""
+    peaks = _peaks()
+    if peaks is None or res["rtf_device"] <= 0:
+        return
+    t_dev = audio_seconds / res["rtf_device"]
+    res["mfu"] = flops / t_dev / peaks[0]
+    res["membw_util"] = bytes_ / t_dev / peaks[1]
+    res["gflops_per_s"] = flops / t_dev / 1e9
+    _log(f"  roofline: {res['gflops_per_s']:.1f} GFLOP/s = "
+         f"{res['mfu'] * 100:.3f}% MXU peak, "
+         f"{res['membw_util'] * 100:.2f}% HBM peak")
+
 
 def _rpc_floor() -> float:
     """Per-call host round-trip floor, measured with a trivial device op.
@@ -153,7 +230,11 @@ def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
     _log(f"vocoder[{backend}] b={batch}: {rtf_call:.2f}x per-call, "
          f"{rtf_device:.2f}x device (chain {est_chain:.1f} / floor "
          f"{est_floor:.1f})")
-    return {"rtf_call": rtf_call, "rtf_device": rtf_device}
+    res = {"rtf_call": rtf_call, "rtf_device": rtf_device}
+    density = float(np.asarray(params["gru_a_mask"]).mean())
+    flops, bytes_ = _vocoder_flops_bytes(model, batch, n_frames, density)
+    _attach_roofline(res, flops, bytes_, audio_seconds)
+    return res
 
 
 def _bench_hga(packets: int = 100) -> float:
@@ -311,6 +392,62 @@ def _bench_segment_path(frames: int = 300) -> dict:
     return {"separate_ms": ms_sep, "fused_ms": ms_fused}
 
 
+def _bench_train_step(batch: int = 16, frames: int = 300,
+                      iters: int = 10) -> dict:
+    """Decoder training-step throughput + MFU (batched BPTT on one chip).
+
+    LSTM FLOPs: 2 MAC-FLOPs x 4 gates x H x (in + H) per timestep, per
+    layer, per direction; backward ~= 2x forward; regressor head added.
+    This is the bench where MFU is meaningful — the B=1 sampler is
+    latency-bound by design (see tools/sampler_microbench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dss_tpu.models import BidirectionalSpeechSynthesisModel
+    from dss_tpu.train.trainer_decoder import DecoderTrainer
+
+    E, H, F = 64, 100, 20
+    model = BidirectionalSpeechSynthesisModel(2, H, E)
+    trainer = DecoderTrainer(model)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, frames, E)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(batch, frames, F)), jnp.float32)
+    mask = jnp.ones((batch, frames), jnp.float32)
+    dk = jax.random.PRNGKey(1)
+
+    _log(f"train-step b={batch} T={frames}: compiling...")
+    params, opt_state, loss = trainer.train_step(params, opt_state, x, y,
+                                                 mask, dk)
+    _sync(loss)
+
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, loss = trainer.train_step(
+                params, opt_state, x, y, mask, dk)
+        _sync(loss)
+        best = min(best, (time.perf_counter() - t0) / iters)
+
+    fwd_per_t = 2 * (4 * H * (E + H)        # layer 1, one direction
+                     + 4 * H * (2 * H + H)  # layer 2 (input 2H)
+                     ) * 2                  # both directions
+    fwd_per_t += 2 * (2 * H) * F            # regressor
+    flops = 3 * batch * frames * fwd_per_t  # fwd + ~2x bwd
+    steps_per_sec = 1.0 / best
+    res = {"step_ms": best * 1000, "frames_per_sec": batch * frames / best}
+    peaks = _peaks()
+    if peaks:
+        res["mfu"] = flops / best / peaks[0]
+    _log(f"train-step: {res['step_ms']:.1f} ms/step "
+         f"({res['frames_per_sec']:.0f} frames/s"
+         + (f", mfu {res['mfu'] * 100:.2f}%" if "mfu" in res else "") + ")")
+    del steps_per_sec
+    return res
+
+
 def _bench_scaleup(iters: int = 30) -> float:
     """Scale-up config (BASELINE.json config 5): 256-channel ECoG, 2x-width
     decoder, 8 concurrent streams on one chip.  Returns aggregate feature
@@ -387,6 +524,10 @@ def _set_headline(r: dict) -> None:
         _PARTIAL["vs_baseline"] = round(r["rtf_device"] / 20.0, 3)
         _PARTIAL["extra"]["vocoder_rtf_1stream_per_call"] = \
             round(r["rtf_call"], 3)
+        if "mfu" in r:
+            _PARTIAL["extra"]["mfu_vocoder_headline"] = round(r["mfu"], 5)
+            _PARTIAL["extra"]["membw_util_vocoder_headline"] = \
+                round(r["membw_util"], 5)
 
 
 def main() -> None:
@@ -453,11 +594,34 @@ def main() -> None:
                  key=lambda r: r["rtf_device"])
     _PARTIAL["extra"]["vocoder_rtf_64stream_aggregate_device"] = \
         round(best64["rtf_device"], 3)
+    if "mfu" in best64:
+        _PARTIAL["extra"]["mfu_vocoder_64stream"] = round(best64["mfu"], 5)
+        _PARTIAL["extra"]["membw_util_vocoder_64stream"] = \
+            round(best64["membw_util"], 5)
 
     _PARTIAL["extra"]["hga_frames_per_sec"] = round(_bench_hga(), 1)
-    _PARTIAL["extra"]["hga_offline_samples_per_sec"] = \
-        round(_bench_hga_offline(), 1)
+    sps = _bench_hga_offline()
+    _PARTIAL["extra"]["hga_offline_samples_per_sec"] = round(sps, 1)
+    peaks = _peaks()
+    if peaks:
+        # Front-end roofline (wall-clock based, so conservative): per
+        # sample-channel ~16 biquad sections x 9 FLOPs + framed log-power
+        # ~3; bytes ~4 f32 passes (filter in/out, framer, features).
+        ch = 64
+        _PARTIAL["extra"]["frontend_gflops_per_s"] = \
+            round(sps * ch * 147 / 1e9, 2)
+        _PARTIAL["extra"]["frontend_membw_util"] = \
+            round(sps * ch * 16 / peaks[1], 5)
     _PARTIAL["extra"]["packet_to_vad_p50_ms"] = round(_bench_latency(), 3)
+    try:
+        tr = _bench_train_step()
+        _PARTIAL["extra"]["decoder_train_step_ms"] = round(tr["step_ms"], 2)
+        _PARTIAL["extra"]["decoder_train_frames_per_sec"] = \
+            round(tr["frames_per_sec"], 1)
+        if "mfu" in tr:
+            _PARTIAL["extra"]["mfu_decoder_train"] = round(tr["mfu"], 5)
+    except Exception as e:
+        _log(f"train-step bench unavailable: {e}")
     seg = _bench_segment_path()
     _PARTIAL["extra"]["segment_300frames_to_audio_ms"] = \
         round(seg["fused_ms"], 3)
