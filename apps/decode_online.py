@@ -206,6 +206,13 @@ class Neuroprosthesis(ez.System):
             f"weights={self.SETTINGS.vocoder_weights} "
             f"fused_decoder={self.SETTINGS.fused_decoder}"
         )
+        # (Re-)logged here because build_neuroprostetics_settings runs
+        # before the log handlers are installed.
+        logger.info(
+            f"Segment buckets: length_multiple="
+            f"{self.SETTINGS.segment_length_multiple} prewarm="
+            f"{list(self.SETTINGS.segment_prewarm_frames)}"
+        )
         decoding_weights = (
             str(self.SETTINGS.decoding_model_weights)
             if self.SETTINGS.decoding_model_weights is not None else None
@@ -358,6 +365,36 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
                            lambda v: tuple(json.loads(v)))
     segment_prewarm_frames = ((50, 150, 200, 250, 300)
                               if prewarm_raw is None else prewarm_raw)
+    # Opt-in auto bucket policy: point segment_policy_labs at prior runs'
+    # log.vad.lab files (space-separated paths/globs) and both settings
+    # above are derived from the deployment's OWN observed segment-length
+    # distribution — every bucket the sessions actually hit prewarms at
+    # startup, none compiles at stream time.  Overrides the explicit keys.
+    policy_labs = optional("Decoding", "segment_policy_labs")
+    if policy_labs:
+        import glob as _glob
+
+        from dss_tpu.runtime.bucket_policy import (
+            choose_policy,
+            load_lab_lengths,
+        )
+
+        lab_paths = [p for pat in policy_labs.split()
+                     for p in sorted(_glob.glob(pat))]
+        lengths = (load_lab_lengths(lab_paths) if lab_paths
+                   else np.zeros(0, np.int64))
+        if len(lengths) >= 5:
+            segment_length_multiple, segment_prewarm_frames = \
+                choose_policy(lengths)
+            logger.info(
+                f"Bucket policy from {len(lab_paths)} lab file(s), "
+                f"{len(lengths)} segments: length_multiple="
+                f"{segment_length_multiple}, prewarm="
+                f"{list(segment_prewarm_frames)}")
+        else:
+            logger.warning(
+                f"segment_policy_labs matched {len(lengths)} segment(s) "
+                f"(< 5) — keeping configured/default buckets")
 
     base_out_dir = settings_config.get("Decoding", "base_out_dir")
     destination_dir = os.path.join(base_out_dir, run_name)

@@ -67,3 +67,56 @@ def test_ini_bucket_options(tmp_path):
         str(cfg), "run", overwrite=True)
     assert settings.segment_length_multiple == 25
     assert settings.segment_prewarm_frames == (75, 125)
+
+
+def test_auto_bucket_policy_from_labs(tmp_path):
+    """segment_policy_labs derives both bucket settings from observed
+    log.vad.lab distributions and overrides the explicit keys."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
+    import decode_online
+
+    labs = tmp_path / "runs"
+    labs.mkdir()
+    rows = "".join(f"0.0\t1.0\t{n} frames\n"
+                   for n in [120, 130, 140, 260, 270, 430] * 3)
+    (labs / "log.vad.lab").write_text(rows)
+
+    src = os.path.join(os.path.dirname(__file__), "..", "config",
+                       "debug_settings.ini")
+    cfg = tmp_path / "cfg.ini"
+    cfg.write_text(open(src).read().replace(
+        "[Decoding]",
+        "[Decoding]\nsegment_policy_labs = " + str(labs / "*.lab")))
+    settings = decode_online.build_neuroprostetics_settings(
+        str(cfg), "run", overwrite=True)
+
+    from dss_tpu.runtime.bucket_policy import choose_policy, load_lab_lengths
+
+    lengths = load_lab_lengths([str(labs / "log.vad.lab")])
+    want_mult, want_prewarm = choose_policy(lengths)
+    assert settings.segment_length_multiple == want_mult
+    assert settings.segment_prewarm_frames == want_prewarm
+    # Every observed bucket is in the prewarm list (full coverage here).
+    padded = -(-lengths // want_mult) * want_mult
+    assert set(padded.tolist()) <= set(want_prewarm)
+
+
+def test_auto_bucket_policy_too_few_segments(tmp_path):
+    """Fewer than 5 observed segments keeps the configured buckets."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
+    import decode_online
+
+    labs = tmp_path / "runs"
+    labs.mkdir()
+    (labs / "log.vad.lab").write_text("0.0\t1.0\t120 frames\n")
+
+    src = os.path.join(os.path.dirname(__file__), "..", "config",
+                       "debug_settings.ini")
+    cfg = tmp_path / "cfg.ini"
+    cfg.write_text(open(src).read().replace(
+        "[Decoding]",
+        "[Decoding]\nsegment_policy_labs = " + str(labs / "*.lab")))
+    settings = decode_online.build_neuroprostetics_settings(
+        str(cfg), "run", overwrite=True)
+    assert settings.segment_length_multiple == 50
+    assert settings.segment_prewarm_frames == (50, 150, 200, 250, 300)

@@ -24,7 +24,6 @@ Usage:
 
 import argparse
 import json
-import math
 import os
 import sys
 import time
@@ -34,26 +33,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-
-def load_lab_lengths(paths) -> np.ndarray:
-    """Segment lengths in frames from .lab files (third column 'N frames')."""
-    lengths = []
-    for p in paths:
-        with open(p) as f:
-            for line in f:
-                parts = line.strip().split("\t")
-                if len(parts) == 3 and parts[2].endswith("frames"):
-                    lengths.append(int(parts[2].split()[0]))
-    return np.asarray(lengths, np.int64)
-
-
-def synthetic_lengths(n: int, mean_s: float = 1.6, sigma: float = 0.5,
-                      seed: int = 0) -> np.ndarray:
-    """Lognormal segment durations (seconds -> 100 fps frames), matching the
-    shape of single-word utterance distributions."""
-    rng = np.random.default_rng(seed)
-    dur = rng.lognormal(mean=math.log(mean_s), sigma=sigma, size=n)
-    return np.maximum((dur * 100).astype(np.int64), 10)
+from dss_tpu.runtime.bucket_policy import (  # noqa: E402
+    load_lab_lengths,
+    recommend_prewarm,
+    score_multiple,
+    synthetic_lengths,
+)
 
 
 def sweep(lengths: np.ndarray, multiples, compile_cost_s: float,
@@ -70,38 +55,33 @@ def sweep(lengths: np.ndarray, multiples, compile_cost_s: float,
         infer = jax.jit(lambda p, x, m: model.apply(p, x, None, mask=m)[0])
 
     for mult in multiples:
+        if not measure:
+            # Cost model: latency ~ per_frame_s * padded frames.
+            results.append(score_multiple(lengths, mult, compile_cost_s,
+                                          per_frame_s))
+            continue
+
+        import jax.numpy as jnp
+
         padded = -(-lengths // mult) * mult
         buckets = Counter(padded.tolist())
-        waste = float(np.mean(padded / lengths) - 1.0)
-        n_buckets = len(buckets)
-
-        if measure:
-            import jax.numpy as jnp
-
-            total = 0.0
-            for bucket_len, count in sorted(buckets.items()):
-                x = jnp.zeros((1, int(bucket_len), 64), jnp.float32)
-                m = jnp.ones((1, int(bucket_len)), jnp.float32)
-                np.asarray(infer(params, x, m))  # compile + warm
-                t0 = time.perf_counter()
-                reps = 3
-                for _ in range(reps):
-                    np.asarray(infer(params, x, m))
-                total += (time.perf_counter() - t0) / reps * count
-            session_s = total + n_buckets * compile_cost_s
-            mean_latency_ms = total / len(lengths) * 1e3
-        else:
-            # Cost model: latency ~ per_frame_s * padded frames.
-            total = float(np.sum(padded)) * per_frame_s
-            session_s = total + n_buckets * compile_cost_s
-            mean_latency_ms = total / len(lengths) * 1e3
-
+        total = 0.0
+        for bucket_len, count in sorted(buckets.items()):
+            x = jnp.zeros((1, int(bucket_len), 64), jnp.float32)
+            m = jnp.ones((1, int(bucket_len)), jnp.float32)
+            np.asarray(infer(params, x, m))  # compile + warm
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                np.asarray(infer(params, x, m))
+            total += (time.perf_counter() - t0) / reps * count
         results.append({
             "length_multiple": int(mult),
-            "buckets": n_buckets,
-            "padding_overhead": round(waste, 4),
-            "mean_inference_ms": round(mean_latency_ms, 3),
-            "est_session_s": round(session_s, 3),
+            "buckets": len(buckets),
+            "padding_overhead": round(
+                float(np.mean(padded / lengths) - 1.0), 4),
+            "mean_inference_ms": round(total / len(lengths) * 1e3, 3),
+            "est_session_s": round(total + len(buckets) * compile_cost_s, 3),
         })
     return results
 
@@ -168,22 +148,6 @@ def main() -> None:
         "ini": (f"segment_length_multiple = {best['length_multiple']}\n"
                 f"segment_prewarm_frames = {prewarm}"),
     }))
-
-
-def recommend_prewarm(lengths: np.ndarray, mult: int,
-                      coverage: float = 0.98) -> list:
-    """Bucket lengths (multiples of ``mult``) to pre-compile at startup:
-    the most frequent observed buckets, greedily added until ``coverage``
-    of segments hit a prewarmed program."""
-    padded = -(-lengths // mult) * mult
-    counts = Counter(padded.tolist())
-    picked, covered = [], 0
-    for bucket, n in counts.most_common():
-        picked.append(int(bucket))
-        covered += n
-        if covered >= coverage * len(lengths):
-            break
-    return sorted(picked)
 
 
 if __name__ == "__main__":
