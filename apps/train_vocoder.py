@@ -58,6 +58,14 @@ def main() -> None:
     parser.add_argument("--chunk-frames", type=int, default=15,
                         help="Training window length in 10 ms frames.")
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--lr-decay", type=float, default=0.0,
+                        help="Per-step hyperbolic LR decay "
+                             "(lr_t = lr / (1 + decay * t)), the xiph "
+                             "LPCNet schedule. 0 = constant LR.")
+    parser.add_argument("--noise-level", type=int, default=2,
+                        help="mu-law-domain jitter (+-levels) injected "
+                             "into the teacher-forced signal history; "
+                             "LPCNet's free-running robustness trick.")
     parser.add_argument("--density", type=float, default=0.2,
                         help="Final GRU-A recurrent density after pruning.")
     parser.add_argument("--seed", type=int, default=0)
@@ -103,7 +111,9 @@ def main() -> None:
     logger.info(f"Corpus: {len(feats)} chunks of {args.chunk_frames} frames")
 
     model = LPCNetModel(bunch=args.bunch)
-    trainer = VocoderTrainer(model, learning_rate=args.lr)
+    trainer = VocoderTrainer(model, learning_rate=args.lr,
+                             noise_level=args.noise_level,
+                             lr_decay=args.lr_decay)
     key = jax.random.PRNGKey(args.seed)
     key, ik = jax.random.split(key)
     params, opt_state = trainer.init(ik)

@@ -56,11 +56,20 @@ class VocoderBatch(NamedTuple):
 
 class VocoderTrainer:
     def __init__(self, model: LPCNetModel, learning_rate: float = 1e-3,
-                 noise_level: int = 2):
+                 noise_level: int = 2, lr_decay: float = 0.0):
         self.model = model
         # mu-law domain jitter on the signal history (LPCNet's input noise).
         self.noise_level = noise_level
-        self.optimizer = optax.adam(learning_rate)
+        if lr_decay > 0.0:
+            # Hyperbolic per-step decay, the schedule of the LPCNet recipe
+            # the reference wraps (xiph LPCNet train_lpcnet.py uses
+            # Adam(decay=...), i.e. lr_t = lr0 / (1 + decay * t)).  A flat
+            # 1e-3 Adam plateaus on rich corpora: the CE stops descending
+            # around 2.9 while the same run with decay keeps improving.
+            schedule = lambda step: learning_rate / (1.0 + lr_decay * step)
+            self.optimizer = optax.adam(schedule)
+        else:
+            self.optimizer = optax.adam(learning_rate)
 
     def init(self, key: jax.Array):
         params = self.model.init(key)
