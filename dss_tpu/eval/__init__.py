@@ -12,8 +12,11 @@ from .quality import (
     QualityReport,
     band_level_snr,
     cepstral_distance,
+    dtw_cepstral_distance,
+    keyword_id_accuracy,
     score,
     score_roundtrip,
+    stoi,
 )
 
 __all__ = [
@@ -25,6 +28,9 @@ __all__ = [
     "QualityReport",
     "band_level_snr",
     "cepstral_distance",
+    "dtw_cepstral_distance",
+    "keyword_id_accuracy",
     "score",
     "score_roundtrip",
+    "stoi",
 ]

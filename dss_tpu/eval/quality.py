@@ -19,6 +19,16 @@ Metrics
                           — a coarser, more interpretable envelope match.
 ``score_roundtrip``       Encode -> synthesize -> score, the standing
                           regression check for a vocoder backend.
+``stoi``                  Short-Time Objective Intelligibility (Taal et
+                          al. 2011): mean short-time correlation of
+                          one-third-octave temporal envelopes at 10 kHz.
+                          0..1, higher = more intelligible; a perceptual
+                          proxy that the cepstral metrics lack.
+``keyword_id_accuracy``   Fraction of resynthesized keywords whose
+                          DTW-aligned cepstral distance is smallest to
+                          their own original — an intelligibility proxy
+                          over exactly the system's deployed 6-word
+                          vocabulary (reference eval/figure_2ab.py:11).
 
 Both accept int16 or float [-1, 1] PCM at 16 kHz.  Framewise comparison
 assumes equal length (synthesis output of the same features guarantees
@@ -117,6 +127,156 @@ def score(reference: np.ndarray, synthesized: np.ndarray,
     )
     return QualityReport(cepstral_distance_db=lsd, band_level_snr_db=snr,
                          num_frames=len(lb_ref))
+
+
+# ---------------------------------------------------------------------------
+# STOI — Short-Time Objective Intelligibility (Taal et al., ICASSP 2011).
+#
+# Pipeline (all constants from the paper): resample to 10 kHz; drop silent
+# frames (> 40 dB below the loudest reference frame); 256-sample Hann STFT
+# with 50% overlap, 512-point FFT; 15 one-third-octave bands from 150 Hz;
+# short-time (30-frame = 384 ms) envelope vectors, normalized + clipped at
+# -15 dB SDR; averaged band/segment correlation.
+# ---------------------------------------------------------------------------
+
+_STOI_FS = 10000
+_STOI_FRAME = 256
+_STOI_HOP = 128
+_STOI_NFFT = 512
+_STOI_BANDS = 15
+_STOI_MINFREQ = 150.0
+_STOI_N = 30          # envelope-segment length in frames (384 ms)
+_STOI_BETA = -15.0    # SDR clipping (dB)
+_STOI_DYN = 40.0      # silent-frame threshold below peak frame (dB)
+
+
+def _third_octave_matrix() -> np.ndarray:
+    """[15, 257] 0/1 selection matrix of one-third-octave bands."""
+    f = np.linspace(0, _STOI_FS / 2, _STOI_NFFT // 2 + 1)
+    cf = _STOI_MINFREQ * 2.0 ** (np.arange(_STOI_BANDS) / 3.0)
+    lo = cf * 2.0 ** (-1.0 / 6.0)
+    hi = cf * 2.0 ** (1.0 / 6.0)
+    return ((f[None, :] >= lo[:, None]) & (f[None, :] < hi[:, None])
+            ).astype(np.float64)
+
+
+def _stoi_frames(x: np.ndarray) -> np.ndarray:
+    n = 1 + max(0, (len(x) - _STOI_FRAME)) // _STOI_HOP
+    idx = (np.arange(_STOI_FRAME)[None, :]
+           + _STOI_HOP * np.arange(n)[:, None])
+    return x[idx] * np.hanning(_STOI_FRAME)[None, :]
+
+
+def stoi(reference: np.ndarray, synthesized: np.ndarray,
+         fs: int = 16000) -> float:
+    """Short-Time Objective Intelligibility of ``synthesized`` given
+    ``reference`` (0..1; ~0.75+ is typically 'intelligible' speech)."""
+    from scipy.signal import resample_poly
+
+    x = _to_float(reference).astype(np.float64)
+    y = _to_float(synthesized).astype(np.float64)
+    n = min(len(x), len(y))
+    x, y = x[:n], y[:n]
+    if fs != _STOI_FS:
+        g = math.gcd(fs, _STOI_FS)
+        x = resample_poly(x, _STOI_FS // g, fs // g)
+        y = resample_poly(y, _STOI_FS // g, fs // g)
+
+    xf, yf = _stoi_frames(x), _stoi_frames(y)
+    if len(xf) < _STOI_N:
+        raise ValueError(f"need >= {_STOI_N} frames for STOI, got {len(xf)}")
+    # Silent-frame removal keyed on the REFERENCE frame energies.
+    e = 20.0 * np.log10(np.linalg.norm(xf, axis=1) + 1e-12)
+    keep = e >= (e.max() - _STOI_DYN)
+    xf, yf = xf[keep], yf[keep]
+    if len(xf) < _STOI_N:
+        raise ValueError("fewer than 30 active frames after VAD")
+
+    spec_x = np.abs(np.fft.rfft(xf, _STOI_NFFT, axis=1)) ** 2
+    spec_y = np.abs(np.fft.rfft(yf, _STOI_NFFT, axis=1)) ** 2
+    octs = _third_octave_matrix()
+    bx = np.sqrt(spec_x @ octs.T)     # [M, 15] band envelopes
+    by = np.sqrt(spec_y @ octs.T)
+
+    # Short-time segments: sliding windows of N frames.
+    M = len(bx) - _STOI_N + 1
+    win = (np.arange(_STOI_N)[None, :] + np.arange(M)[:, None])
+    sx = bx[win]                      # [M, N, 15]
+    sy = by[win]
+    # Normalize y to x's energy per (segment, band), then clip.
+    nx = np.linalg.norm(sx, axis=1, keepdims=True)
+    ny = np.linalg.norm(sy, axis=1, keepdims=True)
+    alpha = nx / np.maximum(ny, 1e-12)
+    sy_n = np.minimum(sy * alpha, sx * (1.0 + 10.0 ** (-_STOI_BETA / 20.0)))
+    # Correlation coefficient per (segment, band).
+    sx_c = sx - sx.mean(axis=1, keepdims=True)
+    sy_c = sy_n - sy_n.mean(axis=1, keepdims=True)
+    num = np.sum(sx_c * sy_c, axis=1)
+    den = (np.linalg.norm(sx_c, axis=1) * np.linalg.norm(sy_c, axis=1))
+    d = num / np.maximum(den, 1e-12)
+    return float(np.mean(d))
+
+
+# ---------------------------------------------------------------------------
+# Keyword identification accuracy — intelligibility over the deployed
+# vocabulary.  Each resynthesized keyword is classified by minimum
+# DTW-aligned Bark-cepstral distance against the set of originals; accuracy
+# is the fraction classified as themselves (chance = 1/6 for the reference
+# system's six keywords).
+# ---------------------------------------------------------------------------
+
+
+def _cepstra(audio: np.ndarray) -> np.ndarray:
+    """[T] PCM -> [N, 17] level-invariant cepstra (c0 dropped)."""
+    enc = LPCFeatureEncoder()
+    feats = enc.compute_LPC_features(_to_float(audio))
+    return feats[:, 1:NB_BANDS].astype(np.float64)
+
+
+def dtw_cepstral_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Path-length-normalized DTW distance between two waveforms'
+    Bark-cepstral sequences (Euclidean local cost)."""
+    ca, cb = _cepstra(a), _cepstra(b)
+    if not len(ca) or not len(cb):
+        raise ValueError("empty cepstral sequence")
+    # Local cost matrix [Ta, Tb].
+    d = np.sqrt(np.maximum(
+        (ca * ca).sum(1)[:, None] + (cb * cb).sum(1)[None, :]
+        - 2.0 * (ca @ cb.T), 0.0))
+    Ta, Tb = d.shape
+    acc = np.full((Ta + 1, Tb + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, Ta + 1):
+        prev = np.minimum(acc[i - 1, 1:], acc[i - 1, :-1])  # up, diag
+        row = acc[i]
+        row[0] = np.inf
+        c = d[i - 1]
+        for j in range(1, Tb + 1):
+            row[j] = c[j - 1] + min(prev[j - 1], row[j - 1])
+    return float(acc[Ta, Tb] / (Ta + Tb))
+
+
+def keyword_id_accuracy(originals: dict, resyntheses: dict) -> float:
+    """Fraction of ``resyntheses`` (word -> waveform or list of waveforms)
+    whose DTW cepstral distance is minimal to their own word's original.
+
+    ``originals`` maps each word to one reference waveform (or a list —
+    the minimum over variants is used)."""
+    ref = {w: v if isinstance(v, (list, tuple)) else [v]
+           for w, v in originals.items()}
+    total, correct = 0, 0
+    for word, syns in resyntheses.items():
+        for syn in (syns if isinstance(syns, (list, tuple)) else [syns]):
+            best_word, best_d = None, np.inf
+            for cand, variants in ref.items():
+                d = min(dtw_cepstral_distance(v, syn) for v in variants)
+                if d < best_d:
+                    best_word, best_d = cand, d
+            total += 1
+            correct += int(best_word == word)
+    if total == 0:
+        raise ValueError("no resyntheses given")
+    return correct / total
 
 
 def score_roundtrip(audio: np.ndarray, vocoder) -> QualityReport:

@@ -27,7 +27,7 @@ import optax
 from ..vocoder.features import LPCFeatureEncoder
 from ..vocoder.lpc import FRAME_SIZE, LPC_ORDER, NB_BANDS, PREEMPH, \
     bands_from_cepstrum, lpc_from_bands
-from ..vocoder.mulaw import MULAW_LEVELS, mulaw_encode
+from ..vocoder.mulaw import MULAW_LEVELS, mulaw_decode, mulaw_encode
 from ..vocoder.net import FEAT_CONTEXT, LPCNetModel
 
 
@@ -93,27 +93,47 @@ class VocoderTrainer:
         lpc, _ = jax.vmap(jax.vmap(lpc_from_bands))(bands)           # [B,T,16]
         lpc_up = jnp.repeat(lpc, FRAME_SIZE, axis=1)                 # [B,S,16]
 
-        # True histories (teacher forcing): sig history matrix [B, S, 16].
-        sig_hist = jnp.stack(
-            [jnp.pad(signal, ((0, 0), (k + 1, 0)))[:, :S]
-             for k in range(LPC_ORDER)], axis=-1,
-        )
-        pred = -jnp.sum(sig_hist * lpc_up, axis=-1)                  # [B,S]
-
-        exc = jnp.clip(signal - pred, -1.0, 1.0)
-        exc_idx = mulaw_encode(exc)                                  # [B,S]
-        prev_exc = jnp.concatenate(
-            [jnp.full((B, 1), MULAW_LEVELS // 2, jnp.int32),
-             exc_idx[:, :-1]], axis=1,
-        )
-        prev_sig_idx = mulaw_encode(sig_hist[..., 0])
+        # AR-propagated noise injection (the LPCNet paper's §3.3 trick,
+        # re-derived): run the LPC synthesis recurrence with mu-law-domain
+        # noise added to each excitation, exactly as the sampler would feed
+        # back its own imperfect samples.  The teacher-forced history then
+        # drifts the way inference drift does, and the CE target is the
+        # excitation that CORRECTS back toward the clean signal — without
+        # this, free-running synthesis on noisy corpora runs away in energy
+        # (iid jitter on the input indices alone does not teach correction).
         if self.noise_level > 0:
             rng, nk = jax.random.split(rng)
             noise = jax.random.randint(
-                nk, prev_sig_idx.shape, -self.noise_level,
-                self.noise_level + 1)
-            prev_sig_idx = jnp.clip(prev_sig_idx + noise, 0,
-                                    MULAW_LEVELS - 1)
+                nk, (B, S), -self.noise_level, self.noise_level + 1)
+        else:
+            noise = jnp.zeros((B, S), jnp.int32)
+
+        def noise_step(hist, inp):
+            s_t, lpc_t, n_t = inp                      # [B], [B,16], [B]
+            pred_t = -jnp.sum(hist * lpc_t, axis=-1)   # [B]
+            e_idx_t = mulaw_encode(jnp.clip(s_t - pred_t, -1.0, 1.0))
+            e_noisy_t = jnp.clip(e_idx_t + n_t, 0, MULAW_LEVELS - 1)
+            # Mirror the sampler's feedback exactly (net.py sample_step):
+            # the next history sample is clip(pred + decoded excitation).
+            s_rec_t = jnp.clip(pred_t + mulaw_decode(e_noisy_t), -1.0, 1.0)
+            hist = jnp.concatenate([s_rec_t[:, None], hist[:, :-1]], axis=1)
+            return hist, (pred_t, e_idx_t, e_noisy_t, s_rec_t)
+
+        _, (pred, exc_idx, exc_noisy, sig_rec) = jax.lax.scan(
+            noise_step, jnp.zeros((B, LPC_ORDER)),
+            (jnp.moveaxis(signal, 1, 0), jnp.moveaxis(lpc_up, 1, 0),
+             jnp.moveaxis(noise, 1, 0)))
+        pred = jnp.moveaxis(pred, 0, 1)            # [B,S] from noisy history
+        exc_idx = jnp.moveaxis(exc_idx, 0, 1)      # [B,S] CE target
+        exc_noisy = jnp.moveaxis(exc_noisy, 0, 1)  # [B,S] fed-back excitation
+        sig_rec = jnp.moveaxis(sig_rec, 0, 1)      # [B,S] noisy reconstruction
+
+        prev_exc = jnp.concatenate(
+            [jnp.full((B, 1), MULAW_LEVELS // 2, jnp.int32),
+             exc_noisy[:, :-1]], axis=1,
+        )
+        prev_sig_idx = mulaw_encode(
+            jnp.pad(sig_rec, ((0, 0), (1, 0)))[:, :S])
         pred_idx = mulaw_encode(pred)
 
         # Hoist all input projections out of the GRU scans.  At bunch=K the
@@ -125,19 +145,15 @@ class VocoderTrainer:
             starts = jnp.arange(0, S, K)
             parts = [params["emb_sig"][prev_sig_idx[:, starts]]]
             for j in range(1, K):
-                # lag j at bunch start t: signal[t-1-j] == sig_hist[:, t, j]
-                lag_idx = mulaw_encode(sig_hist[:, starts, j])
-                if self.noise_level > 0:
-                    rng, nk = jax.random.split(rng)
-                    noise = jax.random.randint(
-                        nk, lag_idx.shape, -self.noise_level,
-                        self.noise_level + 1)
-                    lag_idx = jnp.clip(lag_idx + noise, 0, MULAW_LEVELS - 1)
+                # lag j at bunch start t: noisy reconstruction s_rec[t-1-j]
+                # (the injected noise already rode through the recurrence).
+                lag_idx = mulaw_encode(
+                    jnp.pad(sig_rec, ((0, 0), (j + 1, 0)))[:, :S][:, starts])
                 parts.append(params[f"emb_sig_l{j}"][lag_idx])
             parts.append(params["emb_pred"][pred_idx[:, starts]])
             parts.append(params["emb_exc"][prev_exc[:, starts]])
             for j in range(1, K):
-                lag_exc = jnp.pad(exc_idx, ((0, 0), (j + 1, 0)),
+                lag_exc = jnp.pad(exc_noisy, ((0, 0), (j + 1, 0)),
                                   constant_values=MULAW_LEVELS // 2)[:, :S]
                 parts.append(params[f"emb_exc_l{j}"][lag_exc[:, starts]])
             parts.append(cond_up[:, starts])
@@ -180,7 +196,9 @@ class VocoderTrainer:
             for j in range(K):
                 logits = self.model.sub_logits(params, h_b, j)
                 if j > 0:
-                    prev_sub = exc_idx[:, starts + j - 1]
+                    # Condition on the (noisy) fed-back excitation, as the
+                    # sampler will at inference; the target stays clean.
+                    prev_sub = exc_noisy[:, starts + j - 1]
                     logits = (
                         logits
                         + params[f"bunch_exc_emb_b{j}"][prev_sub]

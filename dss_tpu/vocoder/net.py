@@ -318,15 +318,23 @@ def net_vocoder_init(model: LPCNetModel, batch: int, seed: int = 0
     )
 
 
-@partial(jax.jit, static_argnames=("model", "use_pallas", "sparse_pattern"))
+@partial(jax.jit, static_argnames=("model", "use_pallas", "sparse_pattern",
+                                   "temperature_scale", "greedy"))
 def net_synthesize_frames(model: LPCNetModel, params,
                           state: NetVocoderState, features: jnp.ndarray,
-                          use_pallas: bool = False, sparse_pattern=None):
+                          use_pallas: bool = False, sparse_pattern=None,
+                          temperature_scale: float = 1.0,
+                          greedy: bool = False):
     """features [B, T, 20] -> (pcm [B, T*160] in [-1,1], new state).
 
     sparse_pattern: static GRU-A tile keep-pattern (see
     ops/pallas/sampler.py ``tile_sparse_pattern``); must be derived from
     the concrete mask OUTSIDE this jitted function.  Pallas path only.
+
+    temperature_scale multiplies the pitch-correlation-derived sharpening
+    (xiph LPCNet exposes the analogous knob on its sampler); greedy=True
+    selects per-sample argmax decoding (deterministic, used for
+    diagnostics and kernel-equivalence tests).
     """
     B, T, _ = features.shape
 
@@ -337,7 +345,11 @@ def net_synthesize_frames(model: LPCNetModel, params,
     lpc_all, _ = jax.vmap(jax.vmap(lpc_from_bands))(bands)  # [B, T, 16]
 
     corr = jnp.clip(features[..., NB_BANDS + 1] + 0.5, 0.0, 1.0)  # [B, T]
-    temperature = (1.0 + 1.5 * corr)[..., None]  # sharper when voiced
+    if greedy:
+        temperature = jnp.full(corr.shape + (1,), -1.0, jnp.float32)
+    else:
+        # Sharper when voiced (pitch-correlation-dependent, as in LPCNet).
+        temperature = ((1.0 + 1.5 * corr) * temperature_scale)[..., None]
 
     rng, gkey = jax.random.split(state.rng)
 
