@@ -72,12 +72,16 @@ class LPCNet:
 
     def __init__(self, backend: str = "dsp", weights=None,
                  model: Optional[LPCNetModel] = None, seed: int = 0,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 temperature_scale: float = 1.0):
         if backend not in ("dsp", "net"):
             raise ValueError(f"Unknown vocoder backend: {backend}")
         self.backend = backend
         self.use_pallas = _resolve_use_pallas(use_pallas)
         self._seed = seed
+        # Multiplies the pitch-correlation-derived sharpening (net backend;
+        # xiph LPCNet exposes the analogous sampler knob). 1.0 = default.
+        self.temperature_scale = float(temperature_scale)
         if backend == "dsp":
             self._dsp = LPCVocoder(seed=seed)
         else:
@@ -113,6 +117,7 @@ class LPCNet:
             self._model, self._params, self._state,
             jnp.asarray(features, jnp.float32).reshape(1, 1, NB_FEATURES),
             use_pallas=self.use_pallas, sparse_pattern=self._sparse,
+            temperature_scale=self.temperature_scale,
         )
         return np.asarray(
             np.clip(np.asarray(pcm[0]) * 32767.0, -32768, 32767),
@@ -135,6 +140,7 @@ class LPCNet:
             self._model, self._params, state,
             jnp.zeros((1, n_frames, NB_FEATURES), jnp.float32),
             use_pallas=self.use_pallas, sparse_pattern=self._sparse,
+            temperature_scale=self.temperature_scale,
         )
         np.asarray(pcm)
 
@@ -146,6 +152,7 @@ class LPCNet:
             self._model, self._params, self._state,
             jnp.asarray(features, jnp.float32)[None],
             use_pallas=self.use_pallas, sparse_pattern=self._sparse,
+            temperature_scale=self.temperature_scale,
         )
         return np.asarray(
             np.clip(np.asarray(pcm[0]) * 32767.0, -32768, 32767),
@@ -164,10 +171,12 @@ class BatchedLPCNet:
 
     def __init__(self, batch: int, backend: str = "net", weights=None,
                  model: Optional[LPCNetModel] = None, seed: int = 0,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 temperature_scale: float = 1.0):
         self.batch = batch
         self.backend = backend
         self.use_pallas = _resolve_use_pallas(use_pallas)
+        self.temperature_scale = float(temperature_scale)
         if backend == "dsp":
             self._states = [LPCVocoder(seed=seed + i) for i in range(batch)]
         else:
@@ -206,6 +215,7 @@ class BatchedLPCNet:
         pcm, self._state = net_synthesize_frames(
             self._model, self._params, self._state, jnp.asarray(features),
             use_pallas=self.use_pallas, sparse_pattern=self._sparse,
+            temperature_scale=self.temperature_scale,
         )
         return np.asarray(
             np.clip(np.asarray(pcm) * 32767.0, -32768, 32767), dtype=np.int16

@@ -1,0 +1,135 @@
+"""Keyword-vocabulary intelligibility evaluation for a vocoder checkpoint.
+
+The deployed system's output vocabulary is a small closed keyword set (the
+reference synthesizes 6 keywords; eval/figure_2ab.py:11 lists them), so the
+most decision-relevant intelligibility proxy is: *can each resynthesized
+keyword be identified as itself against the originals?*  This tool
+round-trips every ``kw_<word>_<n>.wav`` in a directory through
+encode -> synthesize and reports:
+
+* ``keyword_id_accuracy`` — fraction of resyntheses whose DTW-aligned
+  Bark-cepstral distance is minimal to their own word (chance = 1/#words);
+* ``stoi_mean`` — mean short-time objective intelligibility over the set;
+* ``cepstral_distance_db_mean`` — mean framewise Bark-cepstral distortion;
+* per-word diagnostics.
+
+Output is one JSON object on stdout, suitable for quality gating::
+
+    python eval/keyword_intelligibility.py /tmp/speech_corpus2/val \
+        --backend net --weights weights/vocoder_speech.npz --platform cpu
+
+The reference has no automated counterpart (quality was judged by
+listening); this closes that gap for the neural backend the same way
+eval/vocoder_quality.py does for single utterances.
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+
+import numpy as np
+from scipy.io import wavfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+_KW_RE = re.compile(r"^kw_([a-z]+)_(\d+)\.wav$")
+
+
+def collect_keywords(directory: str):
+    """-> {word: [wav array, ...]} from kw_<word>_<n>.wav files."""
+    words = {}
+    for name in sorted(os.listdir(directory)):
+        m = _KW_RE.match(name)
+        if not m:
+            continue
+        fs, audio = wavfile.read(os.path.join(directory, name))
+        if fs != 16000:
+            raise SystemExit(f"{name}: expected 16 kHz, got {fs}")
+        if audio.ndim > 1:
+            audio = audio[:, 0]
+        words.setdefault(m.group(1), []).append(audio)
+    if not words:
+        raise SystemExit(f"no kw_<word>_<n>.wav files in {directory}")
+    return words
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        "Round-trip keyword wavs through a vocoder and score "
+        "identification accuracy + STOI.")
+    ap.add_argument("directory", help="Directory of kw_<word>_<n>.wav files "
+                                      "(16 kHz mono).")
+    ap.add_argument("--backend", default="net", choices=("dsp", "net"))
+    ap.add_argument("--weights", default=None,
+                    help="Neural vocoder weights (.npz) for --backend net.")
+    ap.add_argument("--temperature-scale", type=float, default=1.0,
+                    help="Sampling sharpening multiplier (net backend).")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None,
+                    help="Force a JAX platform (e.g. 'cpu').")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from dss_tpu.eval.quality import keyword_id_accuracy, score, stoi
+    from dss_tpu.vocoder.features import LPCFeatureEncoder
+    from dss_tpu.vocoder.lpcnet import LPCNet
+
+    words = collect_keywords(args.directory)
+    vocoder = LPCNet(backend=args.backend, weights=args.weights,
+                     seed=args.seed,
+                     temperature_scale=args.temperature_scale)
+
+    originals, resyntheses = {}, {}
+    per_word = {}
+    dists, stois = [], []
+    for word, variants in sorted(words.items()):
+        originals[word] = []
+        resyntheses[word] = []
+        wd, ws = [], []
+        for audio in variants:
+            enc = LPCFeatureEncoder()
+            feats = enc.compute_LPC_features(audio)
+            vocoder.reset_decoder()
+            syn = vocoder.synthesize_frames(feats)
+            n = len(feats) * 160
+            orig = audio[:n]
+            originals[word].append(orig)
+            resyntheses[word].append(syn[:n])
+            r = score(orig, syn[:n])
+            wd.append(r.cepstral_distance_db)
+            try:
+                ws.append(stoi(orig, syn[:n]))
+            except ValueError:
+                pass  # too short / all-silent for the STOI window
+        per_word[word] = {
+            "n": len(variants),
+            "cepstral_distance_db": round(float(np.mean(wd)), 3),
+            **({"stoi": round(float(np.mean(ws)), 4)} if ws else {}),
+        }
+        dists.extend(wd)
+        stois.extend(ws)
+
+    acc = keyword_id_accuracy(originals, resyntheses)
+    out = {
+        "keyword_id_accuracy": round(acc, 4),
+        "chance": round(1.0 / len(words), 4),
+        "num_words": len(words),
+        "num_utterances": int(sum(len(v) for v in words.values())),
+        "cepstral_distance_db_mean": round(float(np.mean(dists)), 3),
+        **({"stoi_mean": round(float(np.mean(stois)), 4)} if stois else {}),
+        "backend": args.backend,
+        "weights": args.weights,
+        "temperature_scale": args.temperature_scale,
+        "per_word": per_word,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
