@@ -137,3 +137,42 @@ def test_train_vocoder_cli_resume(tmp_path, monkeypatch):
     params, opt_state, extra = load_train_state(str(out / "train_state.pkl"))
     assert extra["epoch"] == 2
     assert "gru_a_wh" in params
+
+
+def test_noise_recursion_matches_sampler_feedback(rng):
+    """The teacher-forcing construction must mirror the sampler's AR loop:
+    with noise_level=0 the propagated reconstruction equals the clean signal
+    up to mu-law quantization of each step's excitation, and the CE target
+    is the excitation of that SAME recursion (so with noise>0 the target is
+    the correcting excitation, not the clean-history one)."""
+    from dss_tpu.vocoder.lpc import LPC_ORDER, lpc_from_bands, \
+        bands_from_cepstrum
+    from dss_tpu.vocoder.mulaw import MULAW_LEVELS, mulaw_decode, mulaw_encode
+
+    B, T = 2, 3
+    S = T * FRAME_SIZE
+    feats = jnp.asarray(rng.normal(size=(B, T, 20)), jnp.float32) * 0.1
+    t = np.arange(S)
+    sig = jnp.asarray(np.stack([0.3 * np.sin(2 * np.pi * t / 80),
+                                0.2 * np.sin(2 * np.pi * t / 120)]),
+                      jnp.float32)
+
+    bands = bands_from_cepstrum(feats[..., :18])
+    lpc, _ = jax.vmap(jax.vmap(lpc_from_bands))(bands)
+    lpc_up = jnp.repeat(lpc, FRAME_SIZE, axis=1)
+
+    # Replay the trainer's recursion at noise 0 in pure numpy.
+    sig_np, lpc_np = np.asarray(sig), np.asarray(lpc_up)
+    hist = np.zeros((B, LPC_ORDER), np.float64)
+    rec = np.zeros((B, S))
+    for i in range(S):
+        pred = -np.sum(hist * lpc_np[:, i], axis=-1)
+        e_idx = np.asarray(mulaw_encode(
+            jnp.asarray(np.clip(sig_np[:, i] - pred, -1.0, 1.0))))
+        rec[:, i] = np.clip(
+            pred + np.asarray(mulaw_decode(jnp.asarray(e_idx))), -1.0, 1.0)
+        hist = np.concatenate([rec[:, i:i + 1], hist[:, :-1]], axis=1)
+    # Quantization error of one mu-law step near these amplitudes is small;
+    # the recursion must track the clean signal, not drift.
+    assert np.max(np.abs(rec - sig_np)) < 0.05
+    assert np.mean(np.abs(rec - sig_np)) < 0.01
