@@ -66,6 +66,14 @@ def main() -> None:
                         help="mu-law-domain jitter (+-levels) injected "
                              "into the teacher-forced signal history; "
                              "LPCNet's free-running robustness trick.")
+    parser.add_argument("--sampled-noise-after", type=int, default=None,
+                        help="From this epoch on, replace uniform noise "
+                             "injection with scheduled sampling: drift the "
+                             "teacher-forced history with the model's own "
+                             "sampled excitations (bunch=1 only). The "
+                             "strongest free-running stabilizer on noisy "
+                             "corpora; earlier epochs use uniform noise so "
+                             "pass-1 logits are worth sampling from.")
     parser.add_argument("--density", type=float, default=0.2,
                         help="Final GRU-A recurrent density after pruning.")
     parser.add_argument("--seed", type=int, default=0)
@@ -150,7 +158,12 @@ def main() -> None:
             if len(idx) < args.batch:
                 break
             key, dk = jax.random.split(key)
-            params, opt_state, loss = trainer.train_step(
+            step_fn = (trainer.train_step_sampled
+                       if (args.sampled_noise_after is not None
+                           and epoch >= args.sampled_noise_after
+                           and model.bunch == 1)
+                       else trainer.train_step)
+            params, opt_state, loss = step_fn(
                 params, opt_state, jnp.asarray(feats[idx]),
                 jnp.asarray(sigs[idx]), dk)
             losses.append(float(loss))

@@ -75,58 +75,95 @@ class VocoderTrainer:
         params = self.model.init(key)
         return params, self.optimizer.init(params)
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _loss(self, params, features, signal, rng):
-        """Teacher-forced CE over all samples of the batch."""
+    def _prepare_cond(self, params, features):
+        """-> (cond_up [B,S,cd], lpc_up [B,S,16], corr [B,T]) shared by all
+        loss variants."""
         model = self.model
         B, T, _ = features.shape
-        S = T * FRAME_SIZE
-
         feats_ctx = jnp.concatenate(
-            [jnp.zeros((B, FEAT_CONTEXT, features.shape[-1]))], axis=1
-        )
-        feats_ctx = jnp.concatenate([feats_ctx, features], axis=1)
+            [jnp.zeros((B, FEAT_CONTEXT, features.shape[-1])), features],
+            axis=1)
         cond = model.condition(params, feats_ctx)[:, FEAT_CONTEXT:]  # [B,T,cd]
         cond_up = jnp.repeat(cond, FRAME_SIZE, axis=1)               # [B,S,cd]
-
         bands = bands_from_cepstrum(features[..., :NB_BANDS])
         lpc, _ = jax.vmap(jax.vmap(lpc_from_bands))(bands)           # [B,T,16]
         lpc_up = jnp.repeat(lpc, FRAME_SIZE, axis=1)                 # [B,S,16]
+        corr = jnp.clip(features[..., NB_BANDS + 1] + 0.5, 0.0, 1.0)
+        return cond_up, lpc_up, corr
 
-        # AR-propagated noise injection (the LPCNet paper's §3.3 trick,
-        # re-derived): run the LPC synthesis recurrence with mu-law-domain
-        # noise added to each excitation, exactly as the sampler would feed
-        # back its own imperfect samples.  The teacher-forced history then
-        # drifts the way inference drift does, and the CE target is the
-        # excitation that CORRECTS back toward the clean signal — without
-        # this, free-running synthesis on noisy corpora runs away in energy
-        # (iid jitter on the input indices alone does not teach correction).
+    def _recursion(self, signal, lpc_up, noise=None, feedback=None):
+        """Run the LPC synthesis recurrence with an imperfect fed-back
+        excitation, exactly as the sampler feeds back its own samples
+        (net.py sample_step: next history sample = clip(pred + decoded e)).
+
+        The teacher-forced history then drifts the way inference drift
+        does, and the CE target is the excitation that CORRECTS back toward
+        the clean signal — iid jitter on the input indices alone does not
+        teach correction (measured: free-running energy ran away 3x on a
+        breathy corpus whose teacher-forced sampling scored 2.4 dB).
+
+        Exactly one of:
+        * ``noise`` [B,S] int — mu-law-domain jitter ADDED to each step's
+          correcting excitation (the LPCNet paper's §3.3 scheme);
+        * ``feedback`` [B,S] int — an externally chosen fed-back excitation
+          index per step (scheduled sampling: the model's own draws).
+
+        -> (pred, exc_tgt, exc_fb, sig_rec), all [B,S]: the LPC prediction
+        from the drifted history, the correcting mu-law target, the fed-back
+        excitation, and the drifted reconstruction.
+        """
+        B, S = signal.shape
+
+        def step(hist, inp):
+            s_t, lpc_t, n_t = inp                      # [B], [B,16], [B]
+            pred_t = -jnp.sum(hist * lpc_t, axis=-1)   # [B]
+            e_idx_t = mulaw_encode(jnp.clip(s_t - pred_t, -1.0, 1.0))
+            if feedback is None:
+                e_fb_t = jnp.clip(e_idx_t + n_t, 0, MULAW_LEVELS - 1)
+            else:
+                e_fb_t = n_t
+            s_rec_t = jnp.clip(pred_t + mulaw_decode(e_fb_t), -1.0, 1.0)
+            hist = jnp.concatenate([s_rec_t[:, None], hist[:, :-1]], axis=1)
+            return hist, (pred_t, e_idx_t, e_fb_t, s_rec_t)
+
+        inject = noise if feedback is None else feedback
+        if inject is None:
+            inject = jnp.zeros((B, S), jnp.int32)
+        _, outs = jax.lax.scan(
+            step, jnp.zeros((B, LPC_ORDER)),
+            (jnp.moveaxis(signal, 1, 0), jnp.moveaxis(lpc_up, 1, 0),
+             jnp.moveaxis(inject, 1, 0)))
+        pred, exc_tgt, exc_fb, sig_rec = (jnp.moveaxis(o, 0, 1) for o in outs)
+        return pred, exc_tgt, exc_fb, sig_rec
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _loss(self, params, features, signal, rng):
+        """Teacher-forced CE over all samples of the batch (uniform
+        mu-law-domain noise propagated through the AR recurrence)."""
+        B, T, _ = features.shape
+        S = T * FRAME_SIZE
+        cond_up, lpc_up, _corr = self._prepare_cond(params, features)
         if self.noise_level > 0:
             rng, nk = jax.random.split(rng)
             noise = jax.random.randint(
                 nk, (B, S), -self.noise_level, self.noise_level + 1)
         else:
             noise = jnp.zeros((B, S), jnp.int32)
+        pred, exc_idx, exc_noisy, sig_rec = self._recursion(
+            signal, lpc_up, noise=noise)
+        return self._forward_ce(params, cond_up, pred, exc_idx, exc_noisy,
+                                sig_rec)
 
-        def noise_step(hist, inp):
-            s_t, lpc_t, n_t = inp                      # [B], [B,16], [B]
-            pred_t = -jnp.sum(hist * lpc_t, axis=-1)   # [B]
-            e_idx_t = mulaw_encode(jnp.clip(s_t - pred_t, -1.0, 1.0))
-            e_noisy_t = jnp.clip(e_idx_t + n_t, 0, MULAW_LEVELS - 1)
-            # Mirror the sampler's feedback exactly (net.py sample_step):
-            # the next history sample is clip(pred + decoded excitation).
-            s_rec_t = jnp.clip(pred_t + mulaw_decode(e_noisy_t), -1.0, 1.0)
-            hist = jnp.concatenate([s_rec_t[:, None], hist[:, :-1]], axis=1)
-            return hist, (pred_t, e_idx_t, e_noisy_t, s_rec_t)
+    def _forward_ce(self, params, cond_up, pred, exc_idx, exc_noisy, sig_rec,
+                    return_logits=False):
+        """Sample-rate network forward on (possibly drifted) teacher inputs.
 
-        _, (pred, exc_idx, exc_noisy, sig_rec) = jax.lax.scan(
-            noise_step, jnp.zeros((B, LPC_ORDER)),
-            (jnp.moveaxis(signal, 1, 0), jnp.moveaxis(lpc_up, 1, 0),
-             jnp.moveaxis(noise, 1, 0)))
-        pred = jnp.moveaxis(pred, 0, 1)            # [B,S] from noisy history
-        exc_idx = jnp.moveaxis(exc_idx, 0, 1)      # [B,S] CE target
-        exc_noisy = jnp.moveaxis(exc_noisy, 0, 1)  # [B,S] fed-back excitation
-        sig_rec = jnp.moveaxis(sig_rec, 0, 1)      # [B,S] noisy reconstruction
+        exc_idx is the CE target; exc_noisy/sig_rec are the fed-back
+        excitation and reconstruction actually seen as inputs.  With
+        ``return_logits`` (bunch=1 only) returns [B,S,256] logits instead
+        of the scalar CE.
+        """
+        B, S = pred.shape
 
         prev_exc = jnp.concatenate(
             [jnp.full((B, 1), MULAW_LEVELS // 2, jnp.int32),
@@ -141,6 +178,8 @@ class VocoderTrainer:
         # starts (teacher-forced lags of the previous K samples/excitations)
         # and each sub-sample j gets its own output head on the shared h_b.
         K = self.model.bunch
+        assert not (return_logits and K > 1), \
+            "return_logits is a bunch=1 (per-sample head) facility"
         if K > 1:
             starts = jnp.arange(0, S, K)
             parts = [params["emb_sig"][prev_sig_idx[:, starts]]]
@@ -212,15 +251,66 @@ class VocoderTrainer:
             return jnp.mean(jnp.stack(ces))
 
         logits = self.model.sample_logits(params, h_b)               # [B,S,256]
+        if return_logits:
+            return logits
         logp = jax.nn.log_softmax(logits, axis=-1)
         ce = -jnp.take_along_axis(logp, exc_idx[..., None], axis=-1)[..., 0]
         return jnp.mean(ce)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _loss_sampled(self, params, features, signal, rng):
+        """Scheduled-sampling CE (bunch=1): drift the teacher-forced history
+        with the model's OWN sampled excitations instead of uniform noise.
+
+        Uniform +-noise_level jitter under-represents the real feedback
+        perturbation: at inference the model samples from its conditional,
+        whose spread on breathy/noisy corpora is tens of mu-law levels.
+        Pass 1 computes clean teacher-forced logits (no gradient), samples
+        one excitation per step with the INFERENCE temperature shaping
+        (1 + 1.5*corr, net.py), and pass 2 trains the model to emit the
+        correcting excitation given the so-drifted history.  The drift
+        compounds through the LPC recurrence within the chunk, exposing the
+        model to exactly the runaway states free-running synthesis visits.
+        """
+        assert self.model.bunch == 1, \
+            "scheduled sampling is implemented for bunch=1; use the " \
+            "uniform-noise loss for bunched models"
+        B, T, _ = features.shape
+        S = T * FRAME_SIZE
+        cond_up, lpc_up, corr = self._prepare_cond(params, features)
+
+        # Pass 1: clean teacher forcing -> logits -> one sampled draw/step.
+        pred0, exc0, exc_fb0, sig_rec0 = self._recursion(signal, lpc_up)
+        logits0 = jax.lax.stop_gradient(self._forward_ce(
+            params, cond_up, pred0, exc0, exc_fb0, sig_rec0,
+            return_logits=True))
+        temp = jnp.repeat(1.0 + 1.5 * corr, FRAME_SIZE, axis=1)[..., None]
+        rng, gk = jax.random.split(rng)
+        gumbel = jax.random.gumbel(gk, logits0.shape, logits0.dtype)
+        e_samp = jnp.argmax(logits0 * temp + gumbel, axis=-1)        # [B,S]
+
+        # Pass 2: drifted history from the sampled feedback; correcting CE.
+        pred_d, exc_tgt, exc_fb, sig_rec = self._recursion(
+            signal, lpc_up, feedback=e_samp.astype(jnp.int32))
+        return self._forward_ce(params, cond_up, pred_d, exc_tgt, exc_fb,
+                                sig_rec)
 
     @partial(jax.jit, static_argnames=("self",))
     def train_step(self, params, opt_state, features, signal, rng):
         loss, grads = jax.value_and_grad(
             lambda p: self._loss(p, features, signal, rng)
         )(params)
+        return self._apply(params, opt_state, loss, grads)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step_sampled(self, params, opt_state, features, signal, rng):
+        """train_step with the scheduled-sampling loss (bunch=1)."""
+        loss, grads = jax.value_and_grad(
+            lambda p: self._loss_sampled(p, features, signal, rng)
+        )(params)
+        return self._apply(params, opt_state, loss, grads)
+
+    def _apply(self, params, opt_state, loss, grads):
         grads = dict(grads, gru_a_mask=jnp.zeros_like(grads["gru_a_mask"]))
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

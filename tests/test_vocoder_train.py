@@ -176,3 +176,27 @@ def test_noise_recursion_matches_sampler_feedback(rng):
     # the recursion must track the clean signal, not drift.
     assert np.max(np.abs(rec - sig_np)) < 0.05
     assert np.mean(np.abs(rec - sig_np)) < 0.01
+
+
+def test_sampled_noise_train_step(rng):
+    """Scheduled-sampling loss: runs, finite, and trains (loss decreases
+    over a few steps on a deterministic target)."""
+    model = _tiny_model()
+    trainer = VocoderTrainer(model, learning_rate=3e-3, noise_level=0)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+    B, T = 4, 3
+    feats = jnp.asarray(rng.normal(size=(B, T, 20)), jnp.float32) * 0.1
+    t = np.arange(T * FRAME_SIZE)
+    sig = jnp.asarray(
+        np.tile(0.3 * np.sin(2 * np.pi * t / 80), (B, 1)), jnp.float32)
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(8):
+        key, dk = jax.random.split(key)
+        params, opt_state, loss = trainer.train_step_sampled(
+            params, opt_state, feats, sig, dk)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
