@@ -74,6 +74,20 @@ def main() -> None:
                              "strongest free-running stabilizer on noisy "
                              "corpora; earlier epochs use uniform noise so "
                              "pass-1 logits are worth sampling from.")
+    parser.add_argument("--freerun-after", type=int, default=None,
+                        help="From this epoch on, train on the free-running "
+                             "rollout: the model synthesizes each chunk exactly "
+                             "as inference does (own sampled excitations "
+                             "fed back through LPC recurrence AND GRU "
+                             "state) and a multi-resolution STFT loss "
+                             "against the true signal corrects drift; the "
+                             "clean teacher-forced CE rides along as an "
+                             "anchor (bunch=1 only). Takes precedence over "
+                             "--sampled-noise-after at epochs where both "
+                             "apply.")
+    parser.add_argument("--stft-weight", type=float, default=2.0,
+                        help="Weight of the STFT term in --freerun-after "
+                             "epochs, relative to the CE anchor.")
     parser.add_argument("--density", type=float, default=0.2,
                         help="Final GRU-A recurrent density after pruning.")
     parser.add_argument("--seed", type=int, default=0)
@@ -121,7 +135,8 @@ def main() -> None:
     model = LPCNetModel(bunch=args.bunch)
     trainer = VocoderTrainer(model, learning_rate=args.lr,
                              noise_level=args.noise_level,
-                             lr_decay=args.lr_decay)
+                             lr_decay=args.lr_decay,
+                             stft_weight=args.stft_weight)
     key = jax.random.PRNGKey(args.seed)
     key, ik = jax.random.split(key)
     params, opt_state = trainer.init(ik)
@@ -158,11 +173,15 @@ def main() -> None:
             if len(idx) < args.batch:
                 break
             key, dk = jax.random.split(key)
-            step_fn = (trainer.train_step_sampled
-                       if (args.sampled_noise_after is not None
-                           and epoch >= args.sampled_noise_after
-                           and model.bunch == 1)
-                       else trainer.train_step)
+            if (args.freerun_after is not None
+                    and epoch >= args.freerun_after and model.bunch == 1):
+                step_fn = trainer.train_step_freerun
+            elif (args.sampled_noise_after is not None
+                    and epoch >= args.sampled_noise_after
+                    and model.bunch == 1):
+                step_fn = trainer.train_step_sampled
+            else:
+                step_fn = trainer.train_step
             params, opt_state, loss = step_fn(
                 params, opt_state, jnp.asarray(feats[idx]),
                 jnp.asarray(sigs[idx]), dk)
