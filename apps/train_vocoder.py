@@ -88,6 +88,15 @@ def main() -> None:
     parser.add_argument("--stft-weight", type=float, default=2.0,
                         help="Weight of the STFT term in --freerun-after "
                              "epochs, relative to the CE anchor.")
+    parser.add_argument("--grad-clip", type=float, default=0.0,
+                        help="Global-norm gradient clip (0 = off). "
+                             "Recommended ~1.0 with --freerun-after: the "
+                             "rollout backpropagates through a resonant "
+                             "LPC synthesis filter and explodes unclipped.")
+    parser.add_argument("--rollout-detach", type=int, default=0,
+                        help="Truncate free-running rollout backprop every "
+                             "N samples (0 = full length). Forward drift "
+                             "still spans the whole chunk.")
     parser.add_argument("--density", type=float, default=0.2,
                         help="Final GRU-A recurrent density after pruning.")
     parser.add_argument("--seed", type=int, default=0)
@@ -136,7 +145,9 @@ def main() -> None:
     trainer = VocoderTrainer(model, learning_rate=args.lr,
                              noise_level=args.noise_level,
                              lr_decay=args.lr_decay,
-                             stft_weight=args.stft_weight)
+                             stft_weight=args.stft_weight,
+                             grad_clip=args.grad_clip,
+                             rollout_detach=args.rollout_detach)
     key = jax.random.PRNGKey(args.seed)
     key, ik = jax.random.split(key)
     params, opt_state = trainer.init(ik)

@@ -83,7 +83,8 @@ class VocoderBatch(NamedTuple):
 class VocoderTrainer:
     def __init__(self, model: LPCNetModel, learning_rate: float = 1e-3,
                  noise_level: int = 2, lr_decay: float = 0.0,
-                 drift_bound: int = 24, stft_weight: float = 2.0):
+                 drift_bound: int = 24, stft_weight: float = 2.0,
+                 grad_clip: float = 0.0, rollout_detach: int = 0):
         self.model = model
         # mu-law domain jitter on the signal history (LPCNet's input noise).
         self.noise_level = noise_level
@@ -97,6 +98,16 @@ class VocoderTrainer:
         # Weight of the multi-resolution STFT term in the free-running
         # fine-tune loss (train_step_freerun) relative to the CE anchor.
         self.stft_weight = stft_weight
+        # Global-norm gradient clip (0 = off).  The free-running rollout
+        # backpropagates through an LPC synthesis filter — a resonant IIR
+        # with poles near the unit circle — so unclipped gradients explode
+        # (measured: the fine-tune loss ROSE 7.0 -> 10.4 over 40 epochs).
+        self.grad_clip = grad_clip
+        # Truncate rollout backprop every N samples (0 = full-length):
+        # the forward pass still free-runs the whole chunk, but gradient
+        # paths are windowed, bounding the resonance amplification the
+        # same way TBPTT bounds RNN gradients.
+        self.rollout_detach = rollout_detach
         if lr_decay > 0.0:
             # Hyperbolic per-step decay, the schedule of the LPCNet recipe
             # the reference wraps (xiph LPCNet train_lpcnet.py uses
@@ -387,7 +398,12 @@ class VocoderTrainer:
         # path consumes the straight-through excitation.
         def scan_step(carry, inp):
             h_a, h_b, hist, exc_prev = carry
-            cond_t, lpc_t, gum_t, temp_t = inp
+            cond_t, lpc_t, gum_t, temp_t, detach_t = inp
+            # Truncated rollout backprop: windowed gradient paths, full-
+            # length forward drift (see __init__ rollout_detach).
+            h_a = jnp.where(detach_t, jax.lax.stop_gradient(h_a), h_a)
+            h_b = jnp.where(detach_t, jax.lax.stop_gradient(h_b), h_b)
+            hist = jnp.where(detach_t, jax.lax.stop_gradient(hist), hist)
             pred = -jnp.sum(hist * lpc_t, axis=-1)                  # [B]
             sig_idx = mulaw_encode(jax.lax.stop_gradient(hist[:, 0]))
             pred_idx = mulaw_encode(jax.lax.stop_gradient(pred))
@@ -417,13 +433,18 @@ class VocoderTrainer:
             return (h_a, h_b, hist, exc_hard), (sample, logits)
 
         scan_step = jax.checkpoint(scan_step)
+        if self.rollout_detach > 0:
+            detach = (jnp.arange(S) % self.rollout_detach == 0) \
+                & (jnp.arange(S) > 0)
+        else:
+            detach = jnp.zeros((S,), bool)
         init = (jnp.zeros((B, ga)), jnp.zeros((B, gb)),
                 jnp.zeros((B, LPC_ORDER)),
                 jnp.full((B,), MULAW_LEVELS // 2, jnp.int32))
         _, (samples, _logits) = jax.lax.scan(
             scan_step, init,
             (jnp.moveaxis(cond_up, 1, 0), jnp.moveaxis(lpc_up, 1, 0),
-             gumbel, jnp.moveaxis(temp_up, 1, 0)))
+             gumbel, jnp.moveaxis(temp_up, 1, 0), detach))
         sig_rec = jnp.moveaxis(samples, 0, 1)                       # [B,S]
 
         stft = _multi_res_stft_loss(sig_rec, signal)
@@ -459,6 +480,10 @@ class VocoderTrainer:
 
     def _apply(self, params, opt_state, loss, grads):
         grads = dict(grads, gru_a_mask=jnp.zeros_like(grads["gru_a_mask"]))
+        if self.grad_clip > 0.0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, self.grad_clip / (gnorm + 1e-9))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         # Keep pruned blocks at exactly zero.
