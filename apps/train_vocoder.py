@@ -127,6 +127,14 @@ def main() -> None:
                         help="Resume from OUT_DIR/train_state.pkl (params "
                              "+ optimizer state + epoch counter), matching "
                              "the other trainers' resume contract.")
+    parser.add_argument("--init-weights", default=None,
+                        help="Initialize params from a checkpoint .npz "
+                             "(fresh optimizer state, epoch 0). The model "
+                             "architecture — including bunch factor and "
+                             "sparsity mask — is inferred from the file; "
+                             "use for staged fine-tunes (e.g. a "
+                             "--freerun-after 0 polish of a trained "
+                             "vocoder_best.npz).")
     args = parser.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -141,7 +149,15 @@ def main() -> None:
     feats, sigs = load_corpus(Path(args.wav_dir), args.chunk_frames)
     logger.info(f"Corpus: {len(feats)} chunks of {args.chunk_frames} frames")
 
-    model = LPCNetModel(bunch=args.bunch)
+    init_params = None
+    if args.init_weights:
+        init_params = {k: jnp.asarray(v)
+                       for k, v in np.load(args.init_weights).items()}
+        model = LPCNetModel.from_params(init_params)
+        logger.info(f"Initialized params from {args.init_weights} "
+                    f"(bunch={model.bunch})")
+    else:
+        model = LPCNetModel(bunch=args.bunch)
     trainer = VocoderTrainer(model, learning_rate=args.lr,
                              noise_level=args.noise_level,
                              lr_decay=args.lr_decay,
@@ -151,6 +167,9 @@ def main() -> None:
     key = jax.random.PRNGKey(args.seed)
     key, ik = jax.random.split(key)
     params, opt_state = trainer.init(ik)
+    if init_params is not None:
+        params = init_params
+        opt_state = trainer.optimizer.init(params)
 
     from dss_tpu.train.checkpoints import load_train_state, save_train_state
 

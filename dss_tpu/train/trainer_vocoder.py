@@ -480,14 +480,31 @@ class VocoderTrainer:
 
     def _apply(self, params, opt_state, loss, grads):
         grads = dict(grads, gru_a_mask=jnp.zeros_like(grads["gru_a_mask"]))
+        # Skip non-finite updates outright.  Clipping by scale alone is NOT
+        # a safety net here: an inf gradient norm gives scale = 0 and
+        # inf * 0 = NaN, which poisons every weight in one step (observed
+        # live: the free-running fine-tune's backprop through the resonant
+        # LPC synthesis filter overflowed at the phase transition and the
+        # whole run went NaN from that epoch on).  A skipped batch costs
+        # one step; a poisoned model costs the run.
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         if self.grad_clip > 0.0:
-            gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, self.grad_clip / (gnorm + 1e-9))
+            scale = jnp.where(finite, scale, 0.0)
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        updates, opt_state = self.optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        updates, new_opt_state = self.optimizer.update(
+            grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        keep = lambda old, new: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(finite, b, a), old, new)
+        params = keep(params, new_params)
+        opt_state = keep(opt_state, new_opt_state)
         # Keep pruned blocks at exactly zero.
         params = dict(params, gru_a_wh=params["gru_a_wh"] * params["gru_a_mask"])
+        # loss is reported as-is (a skipped batch logs its non-finite loss).
         return params, opt_state, loss
 
     def sparsify(self, params, density: float, block=None):

@@ -1,6 +1,7 @@
 """Vocoder trainer tests: teacher-forced loss decreases, sparsification
 produces the requested density, pruned weights stay zero."""
 
+import chex
 import numpy as np
 
 import jax
@@ -229,3 +230,34 @@ def test_freerun_train_step(rng):
     # The rollout gradient path must reach the recurrent weights.
     for k in ("gru_a_wh", "gru_b_wh", "fc_out1_w"):
         assert np.abs(np.asarray(params[k]) - before[k]).max() > 0
+
+
+def test_nonfinite_gradients_skip_update(rng):
+    """An inf/NaN gradient batch must leave params and optimizer state
+    untouched (observed live: backprop through the resonant LPC filter in
+    the free-running fine-tune overflowed; clip-by-scale turned inf * 0
+    into NaN and poisoned the whole run from that epoch on)."""
+    model = _tiny_model()
+    trainer = VocoderTrainer(model, grad_clip=1.0)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+    for bad in (jnp.inf, jnp.nan):
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        grads["gru_a_wx"] = grads["gru_a_wx"].at[0, 0].set(bad)
+        new_params, new_opt, _ = trainer._apply(
+            params, opt_state, jnp.float32(1.0), grads)
+        for k in params:
+            np.testing.assert_array_equal(np.asarray(new_params[k]),
+                                          np.asarray(params[k]), err_msg=k)
+        chex.assert_trees_all_equal(new_opt, opt_state)
+
+
+def test_finite_gradients_still_update(rng):
+    model = _tiny_model()
+    trainer = VocoderTrainer(model, grad_clip=1.0)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    new_params, _, _ = trainer._apply(
+        params, opt_state, jnp.float32(1.0), grads)
+    assert not np.allclose(np.asarray(new_params["gru_a_wx"]),
+                           np.asarray(params["gru_a_wx"]))
