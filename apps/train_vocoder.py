@@ -150,12 +150,26 @@ def main() -> None:
     logger.info(f"Corpus: {len(feats)} chunks of {args.chunk_frames} frames")
 
     init_params = None
+    inherited_density = None
     if args.init_weights:
         init_params = {k: jnp.asarray(v)
                        for k, v in np.load(args.init_weights).items()}
         model = LPCNetModel.from_params(init_params)
         logger.info(f"Initialized params from {args.init_weights} "
                     f"(bunch={model.bunch})")
+        if "gru_a_mask" in init_params:
+            mask_density = float(np.asarray(init_params["gru_a_mask"]).mean())
+            if mask_density <= args.density + 1e-3:
+                # The checkpoint is already pruned to (or below) the target:
+                # keep its mask fixed instead of restarting the ramp from
+                # 100% — re-sparsifying at mid-ramp densities would admit
+                # zeroed tiles back into the mask and let them regrow, and
+                # the schedule's density (not the mask's) would mis-gate
+                # best-by-validation until the ramp caught up.
+                inherited_density = mask_density
+                logger.info(
+                    f"Checkpoint mask density {mask_density:.3f} <= target "
+                    f"{args.density}: pruning disabled, mask inherited")
     else:
         model = LPCNetModel(bunch=args.bunch)
     trainer = VocoderTrainer(model, learning_rate=args.lr,
@@ -217,8 +231,11 @@ def main() -> None:
                 jnp.asarray(sigs[idx]), dk)
             losses.append(float(loss))
 
-        # Progressive sparsification from 100% down to the target density.
-        if epoch >= prune_start and args.density < 1.0:
+        # Progressive sparsification from 100% down to the target density
+        # (skipped when --init-weights supplied an already-pruned mask).
+        if inherited_density is not None:
+            density = inherited_density
+        elif epoch >= prune_start and args.density < 1.0:
             progress = min(1.0, (epoch - prune_start + 1)
                            / max(1, prune_end - prune_start))
             density = 1.0 - (1.0 - args.density) * progress

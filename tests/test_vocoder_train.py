@@ -261,3 +261,48 @@ def test_finite_gradients_still_update(rng):
         params, opt_state, jnp.float32(1.0), grads)
     assert not np.allclose(np.asarray(new_params["gru_a_wx"]),
                            np.asarray(params["gru_a_wx"]))
+
+
+def test_init_weights_inherits_pruned_mask(tmp_path, monkeypatch, caplog):
+    """--init-weights from an already-pruned checkpoint must keep the
+    checkpoint's mask fixed instead of restarting the prune ramp from
+    100% density: re-sparsifying at mid-ramp densities admits zeroed
+    tiles back into the mask (they regrow), and the ramp's density —
+    not the mask's — mis-gated best-by-validation until the ramp caught
+    up (observed live: a freerun fine-tune scored a new best at epoch 5
+    but saved nothing because the schedule still reported 1.00)."""
+    import logging
+    import sys
+
+    from scipy.io.wavfile import write as wavwrite
+
+    sys.path.insert(0, str(
+        __import__("pathlib").Path(__file__).resolve().parent.parent / "apps"))
+    import train_vocoder
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=12800) * 3000).astype(np.int16)
+    wavwrite(wav_dir / "utt.wav", 16000, audio)
+
+    def run(out, args):
+        monkeypatch.setattr(sys, "argv", ["train_vocoder.py", str(wav_dir),
+                                          str(out), "--batch", "2",
+                                          "--chunk-frames", "4"] + args)
+        train_vocoder.main()
+
+    # Stage 1: a short pruned run (2 epochs => the ramp completes).
+    run(tmp_path / "a", ["--epochs", "2", "--density", "0.5"])
+    mask_in = np.load(tmp_path / "a" / "vocoder.npz")["gru_a_mask"]
+    assert 0 < mask_in.mean() <= 0.5 + 1e-6
+
+    # Stage 2: fine-tune from it.  5 epochs puts prune_start at epoch 1,
+    # which without inheritance would re-sparsify at ~0.9 density.
+    with caplog.at_level(logging.INFO):
+        run(tmp_path / "b", ["--epochs", "5", "--density", "0.5",
+                             "--init-weights",
+                             str(tmp_path / "a" / "vocoder.npz")])
+    assert "pruning disabled, mask inherited" in caplog.text
+    mask_out = np.load(tmp_path / "b" / "vocoder.npz")["gru_a_mask"]
+    np.testing.assert_array_equal(mask_out, mask_in)

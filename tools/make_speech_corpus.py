@@ -445,7 +445,14 @@ def main() -> None:
         for v in range(2):
             w = synth_word(phones, val_rng, f0=110.0 + 25.0 * v)
             peak = np.max(np.abs(w)) + 1e-9
-            pcm = (w / peak * 0.55 * 32767).astype(np.int16)
+            # Same room-tone floor as synth_utterance: digital-zero stop
+            # closures are unrealistic and make log-domain spectral
+            # metrics explode against any vocoder's (trained, correct)
+            # noise floor — measured 21-24 dB "distortion" on keywords
+            # whose voiced frames scored 1-2 dB, collapsing to 5-6 dB
+            # once the closures carry room tone like the training data.
+            y = w / peak + val_rng.normal(0, 1e-3, len(w))
+            pcm = (np.clip(y * 0.55, -1, 1) * 32767).astype(np.int16)
             wavfile.write(val_dir / f"kw_{word}_{v}.wav", FS, pcm)
 
     print(f"wrote {n_utts} train utterances to {train_dir}; "

@@ -4,9 +4,12 @@ loud 2.0-3.5 s burst + audio channel) and vad_threshold.npz, a hand-crafted
 2-layer-LSTM checkpoint that behaves as a deterministic threshold VAD
 (speech iff mean(feature) > -2.5), so the full online graph can be driven
 without any training."""
+import os
 import sys
 import numpy as np
 from scipy.io import savemat
+
+os.makedirs("/tmp/verify_e2e", exist_ok=True)
 
 fs, seconds, burst = 1000, 6.0, (2.0, 3.5)
 rng = np.random.default_rng(7)
