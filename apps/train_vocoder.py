@@ -82,7 +82,9 @@ def main() -> None:
                              "state) and a multi-resolution STFT loss "
                              "against the true signal corrects drift; the "
                              "clean teacher-forced CE rides along as an "
-                             "anchor (bunch=1 only). Takes precedence over "
+                             "anchor (bunched models roll out with the "
+                             "exact bunch_step semantics). Takes "
+                             "precedence over "
                              "--sampled-noise-after at epochs where both "
                              "apply.")
     parser.add_argument("--stft-weight", type=float, default=2.0,
@@ -218,7 +220,7 @@ def main() -> None:
                 break
             key, dk = jax.random.split(key)
             if (args.freerun_after is not None
-                    and epoch >= args.freerun_after and model.bunch == 1):
+                    and epoch >= args.freerun_after):
                 step_fn = trainer.train_step_freerun
             elif (args.sampled_noise_after is not None
                     and epoch >= args.sampled_noise_after

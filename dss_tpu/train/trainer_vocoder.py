@@ -379,9 +379,21 @@ class VocoderTrainer:
         teacher-forced sampling of the same model scored 2.4 dB).  The
         clean teacher-forced CE rides along as an anchor so the
         conditional distribution stays calibrated.
+
+        Bunched models (bunch=K) roll out with the exact ``bunch_step``
+        semantics: one GRU advance per K samples, per-lag embeddings
+        gathered from the drifted history, sub-sample j's head corrected
+        by the previous intra-bunch draw, each sub-sample sampled
+        straight-through.
         """
-        assert self.model.bunch == 1, \
-            "free-running fine-tune is implemented for bunch=1"
+        if self.model.bunch > 1:
+            sig_rec = self._rollout_bunched(params, features, signal, rng)
+            stft = _multi_res_stft_loss(sig_rec, signal)
+            cond_up, lpc_up, _ = self._prepare_cond(params, features)
+            pred0, exc0, exc_fb0, sig_rec0 = self._recursion(signal, lpc_up)
+            ce = self._forward_ce(params, cond_up, pred0, exc0, exc_fb0,
+                                  sig_rec0)
+            return ce + self.stft_weight * stft
         model = self.model
         B, T, _ = features.shape
         S = T * FRAME_SIZE
@@ -454,6 +466,104 @@ class VocoderTrainer:
         ce = self._forward_ce(params, cond_up, pred0, exc0, exc_fb0,
                               sig_rec0)
         return ce + self.stft_weight * stft
+
+    def _rollout_bunched(self, params, features, signal, rng):
+        """Free-running synthesis of the chunk for a bunch=K model,
+        differentiable via straight-through sub-sample draws.
+
+        Mirrors ``LPCNetModel.bunch_step`` (net.py) operation for
+        operation: per GRU advance the input gathers the previous K
+        samples/excitations from the *drifted* history through the
+        per-lag embedding tables, and sub-sample j>=1's dual-FC head is
+        shifted by the previous intra-bunch draw's correction embedding.
+        Returns the reconstruction [B, S] in the modeling domain.
+        """
+        model = self.model
+        K = model.bunch
+        B, T, _ = features.shape
+        S = T * FRAME_SIZE
+        n_steps = S // K
+        cond_up, lpc_up, corr = self._prepare_cond(params, features)
+        temp_up = jnp.repeat(1.0 + 1.5 * corr, FRAME_SIZE, axis=1)  # [B,S]
+        decode_table = mulaw_decode(jnp.arange(MULAW_LEVELS))       # [256]
+        starts = jnp.arange(0, S, K)
+
+        rng, gk = jax.random.split(rng)
+        gumbel = jax.random.gumbel(gk, (n_steps, B, K, MULAW_LEVELS))
+
+        ga, gb = model.gru_a_units, model.gru_b_units
+
+        def scan_step(carry, inp):
+            h_a, h_b, hist, exc_hist = carry
+            cond_t, lpc_t, gum_t, temp_t, detach_t = inp
+            h_a = jnp.where(detach_t, jax.lax.stop_gradient(h_a), h_a)
+            h_b = jnp.where(detach_t, jax.lax.stop_gradient(h_b), h_b)
+            hist = jnp.where(detach_t, jax.lax.stop_gradient(hist), hist)
+
+            pred = -jnp.sum(hist * lpc_t, axis=-1)                  # [B]
+            pred0_idx = mulaw_encode(jax.lax.stop_gradient(pred))
+            parts = [params["emb_sig"][
+                mulaw_encode(jax.lax.stop_gradient(hist[:, 0]))]]
+            for j in range(1, K):
+                parts.append(params[f"emb_sig_l{j}"][
+                    mulaw_encode(jax.lax.stop_gradient(hist[:, j]))])
+            parts.append(params["emb_pred"][pred0_idx])
+            parts.append(params["emb_exc"][exc_hist[:, 0]])
+            for j in range(1, K):
+                parts.append(params[f"emb_exc_l{j}"][exc_hist[:, j]])
+            parts.append(cond_t)
+            x_a = jnp.concatenate(parts, axis=-1)
+            h_a = model._gru(x_a, h_a, params["gru_a_wx"],
+                             params["gru_a_wh"], params["gru_a_bx"],
+                             params["gru_a_bh"], params["gru_a_mask"])
+            x_b = jnp.concatenate([h_a, cond_t], axis=-1)
+            h_b = model._gru(x_b, h_b, params["gru_b_wx"],
+                             params["gru_b_wh"], params["gru_b_bx"],
+                             params["gru_b_bh"])
+
+            samples, excs = [], []
+            for j in range(K):
+                logits = model.sub_logits(params, h_b, j)
+                if j > 0:
+                    logits = (
+                        logits
+                        + params[f"bunch_exc_emb_b{j}"][excs[-1]]
+                        + params[f"bunch_pred_emb_b{j}"][
+                            mulaw_encode(jax.lax.stop_gradient(pred))]
+                    )
+                exc_hard = jnp.argmax(
+                    logits * temp_t[:, None] + gum_t[:, j], axis=-1)
+                p = jax.nn.softmax(logits * temp_t[:, None], axis=-1)
+                e_soft = p @ decode_table
+                e = e_soft + jax.lax.stop_gradient(
+                    decode_table[exc_hard] - e_soft)
+                sample = jnp.clip(pred + e, -1.0, 1.0)
+                hist = jnp.concatenate([sample[:, None], hist[:, :-1]],
+                                       axis=1)
+                samples.append(sample)
+                excs.append(exc_hard)
+                if j + 1 < K:
+                    pred = -jnp.sum(hist * lpc_t, axis=-1)
+            exc_hist = jnp.stack(excs[::-1], axis=1)    # most recent first
+            return (h_a, h_b, hist, exc_hist), jnp.stack(samples, axis=1)
+
+        scan_step = jax.checkpoint(scan_step)
+        if self.rollout_detach > 0:
+            period = max(1, self.rollout_detach // K)
+            detach = (jnp.arange(n_steps) % period == 0) \
+                & (jnp.arange(n_steps) > 0)
+        else:
+            detach = jnp.zeros((n_steps,), bool)
+        init = (jnp.zeros((B, ga)), jnp.zeros((B, gb)),
+                jnp.zeros((B, LPC_ORDER)),
+                jnp.full((B, K), MULAW_LEVELS // 2, jnp.int32))
+        _, samples = jax.lax.scan(
+            scan_step, init,
+            (cond_up[:, starts].swapaxes(0, 1),
+             lpc_up[:, starts].swapaxes(0, 1),
+             gumbel, temp_up[:, starts].swapaxes(0, 1), detach))
+        # [n_steps, B, K] -> [B, S]
+        return samples.swapaxes(0, 1).reshape(B, S)
 
     @partial(jax.jit, static_argnames=("self",))
     def train_step(self, params, opt_state, features, signal, rng):

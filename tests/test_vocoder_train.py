@@ -306,3 +306,35 @@ def test_init_weights_inherits_pruned_mask(tmp_path, monkeypatch, caplog):
     assert "pruning disabled, mask inherited" in caplog.text
     mask_out = np.load(tmp_path / "b" / "vocoder.npz")["gru_a_mask"]
     np.testing.assert_array_equal(mask_out, mask_in)
+
+
+def test_freerun_train_step_bunched(rng):
+    """The free-running fine-tune must also work for bunched models,
+    rolling out with bunch_step semantics: finite loss, decreasing over
+    a few steps, gradients reaching the recurrent weights AND the
+    bunch-specific heads/correction embeddings."""
+    model = LPCNetModel(gru_a_units=32, gru_b_units=8, cond_dim=16,
+                        embed_dim=16, bunch=2)
+    trainer = VocoderTrainer(model, learning_rate=3e-3, stft_weight=2.0,
+                             grad_clip=1.0, rollout_detach=160)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+    B, T = 4, 3
+    feats = jnp.asarray(rng.normal(size=(B, T, 20)), jnp.float32) * 0.1
+    t = np.arange(T * FRAME_SIZE)
+    sig = jnp.asarray(
+        np.tile(0.3 * np.sin(2 * np.pi * t / 80), (B, 1)), jnp.float32)
+
+    before = {k: np.asarray(v) for k, v in params.items()}
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(8):
+        key, dk = jax.random.split(key)
+        params, opt_state, loss = trainer.train_step_freerun(
+            params, opt_state, feats, sig, dk)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    for k in ("gru_a_wh", "gru_b_wh", "fc_out1_w", "fc_out1_w_b1",
+              "bunch_exc_emb_b1", "emb_sig_l1"):
+        assert np.abs(np.asarray(params[k]) - before[k]).max() > 0, k
