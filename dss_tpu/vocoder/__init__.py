@@ -49,20 +49,22 @@ def _packaged(name):
 def packaged_weights():
     """Path to the repo's shipped neural-vocoder checkpoint, or None.
 
-    Trained on synthetic source-filter audio (see
-    tools/make_synthetic_corpus.py and tests/test_trained_vocoder.py) —
-    a working default for demos; retrain on real speech for deployment.
-    """
-    return _packaged("vocoder_synthetic.npz")
+    Prefers the speech-trained flagship (vocoder_speech.npz: 2.5 dB
+    held-out Bark-cepstral distortion, 12/12 keyword identification —
+    see tests/test_speech_vocoder.py); falls back to the synthetic
+    source-filter demo anchor (tools/make_synthetic_corpus.py,
+    tests/test_trained_vocoder.py)."""
+    return (_packaged("vocoder_speech.npz")
+            or _packaged("vocoder_synthetic.npz"))
 
 
 def packaged_weights_bunched(bunch: int = 2):
     """Path to the shipped bunched checkpoint (``bunch`` samples per
     sample-rate step — faster synthesis at a small quality cost), or
-    None.  Shipped: bunch=2 (78x RT, 5.2 dB held-out) and bunch=4
-    (95x RT, 5.0-5.7 dB held-out) vs 60x / 4.4 dB for the bunch=1
-    checkpoint."""
-    return _packaged(f"vocoder_synthetic_b{bunch}.npz")
+    None.  Prefers a speech-trained bunched checkpoint
+    (vocoder_speech_b{S}.npz) over the synthetic-corpus one."""
+    return (_packaged(f"vocoder_speech_b{bunch}.npz")
+            or _packaged(f"vocoder_synthetic_b{bunch}.npz"))
 
 __all__ = [
     "mulaw_encode",

@@ -69,6 +69,11 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None,
                     help="Force a JAX platform (e.g. 'cpu').")
+    ap.add_argument("--pallas", default="auto", choices=("auto", "on", "off"),
+                    help="Sampler path for --backend net: 'auto' picks "
+                         "Pallas on accelerators / scan on CPU; 'on' on a "
+                         "TPU scores the exact kernel the online system "
+                         "runs.")
     args = ap.parse_args()
 
     if args.platform:
@@ -81,8 +86,9 @@ def main() -> None:
     from dss_tpu.vocoder.lpcnet import LPCNet
 
     words = collect_keywords(args.directory)
+    use_pallas = {"auto": None, "on": True, "off": False}[args.pallas]
     vocoder = LPCNet(backend=args.backend, weights=args.weights,
-                     seed=args.seed,
+                     seed=args.seed, use_pallas=use_pallas,
                      temperature_scale=args.temperature_scale)
 
     originals, resyntheses = {}, {}

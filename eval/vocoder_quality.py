@@ -54,6 +54,13 @@ def main() -> None:
     parser.add_argument("--platform", default=None,
                         help="Force a JAX platform (e.g. 'cpu'). Scoring is "
                              "light; CPU avoids accelerator compile time.")
+    parser.add_argument("--pallas", default="auto",
+                        choices=("auto", "on", "off"),
+                        help="Sampler path for --backend net: 'auto' picks "
+                             "Pallas on accelerators / scan on CPU (the "
+                             "production default), 'on'/'off' force it — "
+                             "'on' on a TPU scores the exact kernel the "
+                             "online system runs.")
     args = parser.parse_args()
 
     if args.platform:
@@ -64,7 +71,9 @@ def main() -> None:
     if args.roundtrip:
         if args.backend == "net":
             from dss_tpu.vocoder import LPCNet
-            vocoder = LPCNet(backend="net", weights=args.weights)
+            use_pallas = {"auto": None, "on": True, "off": False}[args.pallas]
+            vocoder = LPCNet(backend="net", weights=args.weights,
+                             use_pallas=use_pallas)
         else:
             from dss_tpu.vocoder.dsp import LPCVocoder
             vocoder = LPCVocoder()

@@ -156,3 +156,28 @@ def test_feature_file(tmp_path):
     frames = list(LPCFeatureFile(str(path)))
     assert len(frames) == 3
     np.testing.assert_array_equal(frames[0], data[0, :20])
+
+
+def test_packaged_weights_prefer_speech_checkpoints(monkeypatch):
+    """The shipped-checkpoint resolvers pick the speech-trained flagship
+    over the synthetic demo anchor when both exist (and likewise for the
+    bunched variants), falling back when it doesn't."""
+    import dss_tpu.vocoder as voc
+
+    present = set()
+    monkeypatch.setattr(
+        voc, "_packaged",
+        lambda name: f"/W/{name}" if name in present else None)
+
+    present = {"vocoder_speech.npz", "vocoder_synthetic.npz",
+               "vocoder_speech_b2.npz", "vocoder_synthetic_b2.npz"}
+    assert voc.packaged_weights().endswith("vocoder_speech.npz")
+    assert voc.packaged_weights_bunched(2).endswith("vocoder_speech_b2.npz")
+
+    present = {"vocoder_synthetic.npz", "vocoder_synthetic_b4.npz"}
+    assert voc.packaged_weights().endswith("vocoder_synthetic.npz")
+    assert voc.packaged_weights_bunched(4).endswith("vocoder_synthetic_b4.npz")
+
+    present = set()
+    assert voc.packaged_weights() is None
+    assert voc.packaged_weights_bunched(2) is None
