@@ -75,6 +75,7 @@ def render_masked_hga_features_plot(data_snippet: np.ndarray, mask: np.ndarray,
     ax.set_yticks([0, data_snippet.shape[1] - 1])
     ax.set_yticklabels([1, 82])
     ax.set_ylabel("Selected Channels", labelpad=-10)
+    _time_scale_bar(ax, 20, 120, -4, "1 s")
     _style_box(ax)
     plt.tight_layout()
     _emit(fig, out_filename, dpi)
@@ -90,6 +91,7 @@ def render_lpc_features_plot(data_snippet: np.ndarray,
     ax.set_yticklabels([1, 20])
     ax.set_ylabel("LPC Coefficients", labelpad=-10)
     ax.set_title("Estimated Vocoder Features")
+    _time_scale_bar(ax, 20, 120, -2, "1 s")
     _style_box(ax)
     plt.tight_layout()
     _emit(fig, out_filename, dpi)
@@ -111,6 +113,18 @@ def render_patient_and_synthesized_speech(orig_snippet: np.ndarray,
         ax.set_xticks([])
         ax.set_xlim(0, xs[-1] if len(xs) else 1)
     ax_reco.set_xlabel("Time [s]")
+    if len(xs) and xs[-1] >= 2.0:
+        # 1 s scale bracket under the synthesized trace.
+        x1 = min(4.0, xs[-1] - 0.5)
+        amp = float(np.max(np.abs(reco_snippet))) or 1.0
+        y = -0.75 * amp
+        ax_reco.annotate(
+            "", xy=(x1, y), xytext=(x1 - 1.0, y), annotation_clip=False,
+            arrowprops=dict(connectionstyle="bar,armA=6,armB=6,fraction=0.0",
+                            arrowstyle="-", shrinkA=4, shrinkB=4,
+                            linewidth=1.5, edgecolor="black"))
+        ax_reco.annotate("1 s", xy=(x1 - 0.62, -1.35 * amp), zorder=100,
+                         color="black", annotation_clip=False)
     plt.tight_layout()
     _emit(fig, out_filename, dpi)
 
