@@ -98,11 +98,25 @@ fi
 # -------------------------------------------------------------------------
 if [ ${stage} -le 7 ] && [ ${stop_stage} -ge 7 ]; then
     echo "Stage 7: Play one file from the online test days locally (60 seconds)"
-    # AMP_START_DELAY (seconds, default 0) holds the amplifier back until
-    # the decoder has warmed its device programs — useful on backends with
-    # slow XLA compiles; 0 reproduces the reference's behavior.
-    ( sleep ${AMP_START_DELAY:-0}; \
-      python apps/development_amplifier.py $LIVE_DIR/2023_04_14/KeywordSynthesis_Overt_R01.mat --seconds 60 ) &
+    # When stage 8 runs in the same invocation, hold the amplifier back
+    # until the decoder reports readiness in its run log ("starting
+    # sources") — its warm-up compiles take minutes on slow backends and
+    # contend with the amplifier's own startup on small hosts.  The wait is
+    # capped at AMP_MAX_WAIT seconds (default 900); AMP_START_DELAY adds a
+    # fixed sleep before the gate (default 0, the reference's behavior).
+    run_log="$(awk -F' *= *' '$1 == "base_out_dir" {print $2}' "$settings")/replicate/log.run.txt"
+    if [ ${stop_stage} -ge 8 ]; then
+      rm -f "$run_log"   # a stale log would satisfy the gate prematurely
+    fi
+    ( sleep ${AMP_START_DELAY:-0}
+      if [ ${stop_stage} -ge 8 ]; then
+        waited=0
+        until grep -qs "starting sources" "$run_log"; do
+          sleep 2; waited=$((waited + 2))
+          [ ${waited} -ge ${AMP_MAX_WAIT:-900} ] && break
+        done
+      fi
+      exec python apps/development_amplifier.py $LIVE_DIR/2023_04_14/KeywordSynthesis_Overt_R01.mat --seconds 60 ) &
 fi
 
 # -------------------------------------------------------------------------

@@ -144,9 +144,10 @@ vad_model_weights = {temp}/nVAD/best_model.pth
 initial_normalization_statistics = {temp}/sessions/{online_day}/normalization.npy
 vocoder_backend = {vocoder}
 vocoder_weights =
-; generous idle window: the replay amplifier takes >10 s just to start
-; (python + scipy imports) after the decoder is already listening.
-idle_timeout = 60
+; generous idle window: the replay amplifier takes tens of seconds to even
+; start (python + scipy imports, worse under CPU contention with the
+; decoder's background bucket prewarms) after the decoder is listening.
+idle_timeout = 240
 fused_frontend = auto
 fused_decoder = auto
 segment_length_multiple = 50
