@@ -93,14 +93,50 @@ def _gather_rows_sum(refs_and_idx):
     return jnp.dot(sel, block, preferred_element_type=jnp.float32)
 
 
-def _gru_pre(gx, h, wh, bh, units):
-    """GRU update from a precomputed input projection gx = x @ wx + bx."""
-    gh = jnp.dot(h.astype(wh.dtype), wh,
-                 preferred_element_type=jnp.float32) + bh
+def _gru_combine(gx, gh, h, units):
+    """Reset-after GRU gate math from precomputed projections gx, gh."""
     r = jax.nn.sigmoid(gx[:, :units] + gh[:, :units])
     z = jax.nn.sigmoid(gx[:, units:2 * units] + gh[:, units:2 * units])
     n = jnp.tanh(gx[:, 2 * units:] + r * gh[:, 2 * units:])
     return (1.0 - z) * n + z * h
+
+
+def _gh_dense(h, wh, bh):
+    """Recurrent projection gh = h @ wh + bh.  Reset-after GRUs make this a
+    pure function of h, so the kernel can issue it for step t+1 right after
+    h_t is produced — off the loop-carried serial chain."""
+    return jnp.dot(h.astype(wh.dtype), wh,
+                   preferred_element_type=jnp.float32) + bh
+
+
+def _gru_pre(gx, h, wh, bh, units):
+    """GRU update from a precomputed input projection gx = x @ wx + bx."""
+    return _gru_combine(gx, _gh_dense(h, wh, bh), h, units)
+
+
+def _argmax_packed(scores):
+    """Single-reduction argmax for the stochastic sampling path.
+
+    Maps the f32 scores through the monotone float->int32 total-order
+    transform (``s ^ ((s >> 31) & 0x7fffffff)``), clears the 8 mantissa
+    LSBs, and embeds the lane index there: ONE cross-lane max then yields
+    both the winner and its index — replacing the max-reduce + MXU
+    mask-dot pair on the latency-bound serial chain.
+
+    Quantizes the comparison to the top 24 bits and breaks ties toward the
+    HIGHEST lane; with continuous Gumbel noise a winner flip requires the
+    top-2 scores within one quantization bucket (~2^-16 relative — rare
+    and perceptually nil for sampling), so this rides only
+    stochastic-compiled kernels (exact equivalence runs compile with
+    stochastic=False and keep the min-reduction argmax).  Measured +2% on
+    the B=1 tile-sparse chain (v5e: 1.051 -> 1.030 us/sample).
+    """
+    s = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    key = s ^ ((s >> 31) & jnp.int32(0x7FFFFFFF))
+    lanes = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    packed = (key & jnp.int32(-256)) | lanes
+    m = jnp.max(packed, axis=1, keepdims=True)
+    return m & jnp.int32(255)
 
 
 ROW_BLOCK = 16    # sparse tile rows (h-dim); LPCNet prunes rows in 16s
@@ -176,9 +212,9 @@ def _compact_sparse_wh(wh_masked: jnp.ndarray, pattern,
     return jnp.concatenate(slabs, axis=0)
 
 
-def _gru_pre_sparse(gx, h, wh_sp_ref, bh, units, pattern, batch,
-                    group_lanes: int = COL_BLOCK):
-    """GRU update with the recurrent matmul restricted to kept tiles.
+def _gh_sparse(h, wh_sp_ref, bh, pattern, batch,
+               group_lanes: int = COL_BLOCK):
+    """Sparse recurrent projection: the matmul restricted to kept tiles.
 
     Streams only ``kept_fraction`` of the recurrent weights from VMEM: for
     each ``group_lanes``-wide gate column group, the contributing 16-row
@@ -201,12 +237,16 @@ def _gru_pre_sparse(gx, h, wh_sp_ref, bh, units, pattern, batch,
         outs.append(jnp.dot(hg, wh_sp_ref[pl.ds(off, k), :],
                             preferred_element_type=jnp.float32))
         off += k
-    gh = (outs[0] if len(outs) == 1
-          else jnp.concatenate(outs, axis=1)) + bh
-    r = jax.nn.sigmoid(gx[:, :units] + gh[:, :units])
-    z = jax.nn.sigmoid(gx[:, units:2 * units] + gh[:, units:2 * units])
-    n = jnp.tanh(gx[:, 2 * units:] + r * gh[:, 2 * units:])
-    return (1.0 - z) * n + z * h
+    return (outs[0] if len(outs) == 1
+            else jnp.concatenate(outs, axis=1)) + bh
+
+
+def _gru_pre_sparse(gx, h, wh_sp_ref, bh, units, pattern, batch,
+                    group_lanes: int = COL_BLOCK):
+    """GRU update with the recurrent matmul restricted to kept tiles."""
+    gh = _gh_sparse(h, wh_sp_ref, bh, pattern, batch,
+                    group_lanes=group_lanes)
+    return _gru_combine(gx, gh, h, units)
 
 
 def _gru(x, h, wx, wh, bx, bh, units):
@@ -225,6 +265,7 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                  stochastic: bool = True, sparse_pattern=None,
                  fuse_embed: bool = False, hoist_noise: bool = False,
                  unroll: int = 1, sparse_group_lanes: int = COL_BLOCK,
+                 pre_rec: bool = False, packed_argmax: bool = False,
                  ablate: frozenset = frozenset()):
     def kernel(
         # frame-rate inputs (one frame per grid step)
@@ -298,7 +339,22 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
         # prediction.  Transposed once per frame, off the sample chain.
         lpc_col = lpc.reshape(lpc_order, 1) if batch == 1 else None
 
-        def step(i, _):
+        # pre_rec: reset-after GRUs make gh = h @ wh + bh a pure function
+        # of h, so the projection for step t+1 is issued right after h_t
+        # lands and rides the loop carry — its latency hides behind the
+        # rest of the iteration instead of heading the serial chain.
+        def gh_a_of(h):
+            if sparse_pattern is not None:
+                return _gh_sparse(h, gru_a_wh_ref, gru_a_bh_ref[...],
+                                  sparse_pattern, batch,
+                                  group_lanes=sparse_group_lanes)
+            return _gh_dense(h, gru_a_wh_ref[...], gru_a_bh_ref[...])
+
+        def gh_b_of(h):
+            return _gh_dense(h, gru_b_wh_ref[...], gru_b_bh_ref[...])
+
+        def step(i, carry):
+            gh_a_p, gh_b_p = carry if pre_rec else (None, None)
             sig_mem = sig_mem_s[...]
             if "pred" in ablate:
                 pred = sig_mem[:, :1]
@@ -355,6 +411,8 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                                preferred_element_type=jnp.float32) + gx_a_cond
             if "grua" in ablate:
                 h_a = jnp.tanh(gx_a[:, :gru_a])
+            elif pre_rec:
+                h_a = _gru_combine(gx_a, gh_a_p, h_a_s[...], gru_a)
             elif sparse_pattern is not None:
                 h_a = _gru_pre_sparse(gx_a, h_a_s[...], gru_a_wh_ref,
                                       gru_a_bh_ref[...], gru_a,
@@ -364,16 +422,20 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                 h_a = _gru_pre(gx_a, h_a_s[...], gru_a_wh_ref[...],
                                gru_a_bh_ref[...], gru_a)
             h_a_s[...] = h_a
+            gh_a_n = gh_a_of(h_a) if pre_rec else None
 
             gx_b = jnp.dot(h_a.astype(gru_b_wx_ref.dtype),
                            gru_b_wx_ref[pl.ds(0, gru_a), :],
                            preferred_element_type=jnp.float32) + gx_b_cond
             if "grub" in ablate:
                 h_b = jnp.tanh(gx_b[:, :gru_b])
+            elif pre_rec:
+                h_b = _gru_combine(gx_b, gh_b_p, h_b_s[...], gru_b)
             else:
                 h_b = _gru_pre(gx_b, h_b_s[...], gru_b_wh_ref[...],
                                gru_b_bh_ref[...], gru_b)
             h_b_s[...] = h_b
+            gh_b_n = gh_b_of(h_b) if pre_rec else None
 
             # The dual output heads ride ONE MXU dispatch: out1_w_ref holds
             # [gb, 2*256] = concat(out1_w, out2_w) and out1_g_ref the
@@ -412,6 +474,8 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
 
             if "argmax" in ablate:
                 new_exc = (scores[:, :1] > 0).astype(jnp.int32)
+            elif stochastic and packed_argmax:
+                new_exc = _argmax_packed(scores)
             elif stochastic and batch == 1:
                 # Tie-free argmax: with continuous Gumbel noise the maximum
                 # is unique (measure zero otherwise), so ONE cross-lane max
@@ -450,12 +514,13 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
             )
             if "store" not in ablate:
                 sig_out_ref[0, i, :] = sample[:, 0]
-            return 0
+            return (gh_a_n, gh_b_n) if pre_rec else 0
 
+        carry0 = (gh_a_of(h_a_s[...]), gh_b_of(h_b_s[...])) if pre_rec else 0
         if unroll > 1:
-            jax.lax.fori_loop(0, frame_size, step, 0, unroll=unroll)
+            jax.lax.fori_loop(0, frame_size, step, carry0, unroll=unroll)
         else:
-            jax.lax.fori_loop(0, frame_size, step, 0)
+            jax.lax.fori_loop(0, frame_size, step, carry0)
 
         h_a_out_ref[...] = h_a_s[...]
         h_b_out_ref[...] = h_b_s[...]
@@ -468,13 +533,15 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
 @partial(jax.jit, static_argnames=("frame_size", "stochastic",
                                    "weight_dtype", "sparse_pattern",
                                    "fuse_embed", "hoist_noise", "unroll",
-                                   "sparse_group_lanes", "ablate"))
+                                   "sparse_group_lanes", "pre_rec",
+                                   "packed_argmax", "ablate"))
 def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
                   exc0, frame_size: int, stochastic: bool = True,
                   weight_dtype=jnp.bfloat16, sparse_pattern=None,
                   fuse_embed: bool = False, hoist_noise: bool = False,
                   unroll: int = 1, sparse_group_lanes: int = COL_BLOCK,
-                 ablate: frozenset = frozenset()):
+                  pre_rec: bool = False, packed_argmax: bool = False,
+                  ablate: frozenset = frozenset()):
     """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T] int32."""
     T, B, cd = cond.shape
     lpc_order = lpc.shape[-1]
@@ -495,6 +562,7 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
                           fuse_embed=fuse_embed, hoist_noise=hoist_noise,
                           unroll=unroll,
                           sparse_group_lanes=sparse_group_lanes,
+                          pre_rec=pre_rec, packed_argmax=packed_argmax,
                           ablate=ablate)
 
     def frame_spec(shape):
@@ -598,7 +666,8 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
                           stochastic: bool = True, weight_dtype=None,
                           sparse_pattern=None, fuse_embed=None,
                           hoist_noise=None, unroll: int = 1,
-                          sparse_group_lanes=None,
+                          sparse_group_lanes=None, pre_rec=None,
+                          packed_argmax=None,
                           ablate: str = ""):
     """Synthesize T frames with the Pallas sampler.
 
@@ -636,6 +705,18 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
         # extra streaming cost for the union rows' zeros.
         ga = h_a.shape[-1]
         sparse_group_lanes = ga if ga % COL_BLOCK == 0 else COL_BLOCK
+    if pre_rec is None:
+        # Measured NEGATIVE on v5e (1.05 -> 1.15 us/sample sparse B=1):
+        # carrying next-step gh through the fori_loop costs more than the
+        # head-of-chain projection it hides — Mosaic already overlaps the
+        # gh dot with the gx embedding chain.  Kept as a flag for future
+        # configs (e.g. much larger gru_a where the projection dominates).
+        pre_rec = False
+    if packed_argmax is None:
+        # Single-reduction argmax needs noise to wash out its highest-lane
+        # tie-breaking and 24-bit quantization (see _argmax_packed); exact
+        # equivalence (greedy) runs keep the min-reduction form.
+        packed_argmax = bool(stochastic)
     cond = jnp.moveaxis(jnp.asarray(cond_all, jnp.float32), 1, 0)
     lpc = jnp.moveaxis(jnp.asarray(lpc_all, jnp.float32), 1, 0)
     temp = jnp.moveaxis(jnp.asarray(temperature, jnp.float32), 1, 0)
@@ -648,6 +729,7 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
         weight_dtype=weight_dtype, sparse_pattern=sparse_pattern,
         fuse_embed=bool(fuse_embed), hoist_noise=bool(hoist_noise),
         unroll=unroll, sparse_group_lanes=sparse_group_lanes,
+        pre_rec=bool(pre_rec), packed_argmax=bool(packed_argmax),
         ablate=frozenset(a for a in ablate.split(",") if a),
     )
     T, F, B = sig.shape
@@ -668,7 +750,8 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                          gru_b: int, cond_dim: int, embed_dim: int,
                          bunch: int, batch: int = 1,
                          stochastic: bool = True, sparse_pattern=None,
-                         sparse_group_lanes: int = COL_BLOCK):
+                         sparse_group_lanes: int = COL_BLOCK,
+                         packed_argmax: bool = False):
     S = bunch
     n_emb = 2 * S + 1
     steps = frame_size // S
@@ -735,6 +818,8 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
             return -jnp.sum(sig_mem * lpc, axis=1, keepdims=True)    # [B,1]
 
         def sample_from(scores):
+            if stochastic and packed_argmax:
+                return _argmax_packed(scores)
             if stochastic:
                 m = jnp.max(scores, axis=1, keepdims=True)
                 hit = (scores >= m).astype(jnp.float32)
@@ -874,12 +959,14 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
 
 @partial(jax.jit, static_argnames=("frame_size", "stochastic",
                                    "weight_dtype", "sparse_pattern",
-                                   "sparse_group_lanes", "bunch"))
+                                   "sparse_group_lanes", "bunch",
+                                   "packed_argmax"))
 def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                           sig_mem0, exc0, frame_size: int, bunch: int,
                           stochastic: bool = True,
                           weight_dtype=jnp.bfloat16, sparse_pattern=None,
-                          sparse_group_lanes: int = COL_BLOCK):
+                          sparse_group_lanes: int = COL_BLOCK,
+                          packed_argmax: bool = False):
     """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T]; exc0 [B,S]."""
     T, B, cd = cond.shape
     S = bunch
@@ -897,7 +984,8 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                                   embed_dim, S, batch=B,
                                   stochastic=stochastic,
                                   sparse_pattern=sparse_pattern,
-                                  sparse_group_lanes=sparse_group_lanes)
+                                  sparse_group_lanes=sparse_group_lanes,
+                                  packed_argmax=packed_argmax)
     fuse_gather = B <= 4
 
     def frame_spec(shape):
@@ -1018,7 +1106,8 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
                                   temperature, seeds, frame_size: int = 160,
                                   stochastic: bool = True, weight_dtype=None,
                                   sparse_pattern=None,
-                                  sparse_group_lanes=None):
+                                  sparse_group_lanes=None,
+                                  packed_argmax=None):
     """Bunched-model synthesis of T frames.
 
     carry: (h_a [1,ga], h_b [1,gb], sig_mem [1,16], exc_hist [1,S]).
@@ -1031,6 +1120,11 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
     if sparse_group_lanes is None:
         ga = h_a.shape[-1]
         sparse_group_lanes = ga if ga % COL_BLOCK == 0 else COL_BLOCK
+    if packed_argmax is None:
+        # See sampler_frames_pallas: noise washes out the packed form's
+        # highest-lane ties and 24-bit quantization; greedy equivalence
+        # runs keep the exact min-reduction argmax.
+        packed_argmax = bool(stochastic)
     cond = jnp.moveaxis(jnp.asarray(cond_all, jnp.float32), 1, 0)
     lpc = jnp.moveaxis(jnp.asarray(lpc_all, jnp.float32), 1, 0)
     temp = jnp.moveaxis(jnp.asarray(temperature, jnp.float32), 1, 0)
@@ -1042,6 +1136,7 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
         frame_size=frame_size, bunch=S, stochastic=stochastic,
         weight_dtype=weight_dtype, sparse_pattern=sparse_pattern,
         sparse_group_lanes=sparse_group_lanes,
+        packed_argmax=bool(packed_argmax),
     )
     T, F, B = sig.shape
     sig = jnp.moveaxis(sig.reshape(T * F, B), 0, 1)

@@ -164,6 +164,66 @@ def test_sampler_sparse_matches_dense(rng):
                                   np.asarray(dense_carry[3]))
 
 
+def test_sampler_prerec_matches_default(rng):
+    """pre_rec reorders the recurrent projections onto the loop carry but
+    computes the identical dots — greedy output must match exactly, dense
+    and tile-sparse."""
+    from dss_tpu.ops.pallas.sampler import (
+        sampler_frames_pallas,
+        tile_sparse_pattern,
+    )
+    from dss_tpu.vocoder.net import LPCNetModel
+
+    model = LPCNetModel(gru_a_units=128, gru_b_units=8, cond_dim=8,
+                        embed_dim=8)
+    params = model.init(jax.random.PRNGKey(2))
+    keep = rng.random((8, 3)) < 0.5
+    keep[0, :] = True
+    mask = np.repeat(np.repeat(keep.astype(np.float32), 16, axis=0),
+                     128, axis=1)
+    params = dict(params, gru_a_mask=jnp.asarray(mask))
+    pattern, _ = tile_sparse_pattern(mask)
+
+    B, T, F = 2, 2, 8
+    cond = jnp.asarray(rng.normal(size=(B, T, 8)), jnp.float32) * 0.5
+    lpc = jnp.asarray(rng.normal(size=(B, T, 16)), jnp.float32) * 0.05
+    temp = -jnp.ones((B, T, 1), jnp.float32)
+    carry0 = (jnp.zeros((B, 128)), jnp.zeros((B, 8)), jnp.zeros((B, 16)),
+              jnp.full((B,), 128, jnp.int32))
+    kw = dict(seeds=jnp.arange(T, dtype=jnp.int32), frame_size=F,
+              stochastic=False, weight_dtype=jnp.float32)
+
+    for pat in (None, pattern):
+        base_carry, base = sampler_frames_pallas(
+            model, params, carry0, cond, lpc, temp, sparse_pattern=pat, **kw)
+        pr_carry, pr = sampler_frames_pallas(
+            model, params, carry0, cond, lpc, temp, sparse_pattern=pat,
+            pre_rec=True, **kw)
+        np.testing.assert_array_equal(np.asarray(pr), np.asarray(base))
+        np.testing.assert_array_equal(np.asarray(pr_carry[0]),
+                                      np.asarray(base_carry[0]))
+        np.testing.assert_array_equal(np.asarray(pr_carry[3]),
+                                      np.asarray(base_carry[3]))
+
+
+def test_argmax_packed_matches_argmax(rng):
+    """The single-reduction packed argmax must agree with jnp.argmax on
+    generic scores; on exact ties it breaks toward the HIGHEST lane (the
+    documented deviation, measure-zero under Gumbel noise)."""
+    from dss_tpu.ops.pallas.sampler import _argmax_packed
+
+    for _ in range(20):
+        s = jnp.asarray(rng.normal(size=(3, 256)).astype(np.float32) * 5 - 2)
+        np.testing.assert_array_equal(
+            np.asarray(_argmax_packed(s))[:, 0],
+            np.asarray(jnp.argmax(s, axis=1)))
+    # Edge cases: monotone ramps and the all-equal tie.
+    ramp = jnp.asarray(np.linspace(-100, 100, 256, np.float32)[None])
+    assert int(_argmax_packed(ramp)[0, 0]) == 255
+    assert int(_argmax_packed(-ramp)[0, 0]) == 0
+    assert int(_argmax_packed(jnp.full((1, 256), -3.0))[0, 0]) == 255
+
+
 def test_tile_sparse_pattern_edges():
     from dss_tpu.ops.pallas.sampler import tile_sparse_pattern
 

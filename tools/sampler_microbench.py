@@ -101,11 +101,27 @@ def main():
                                  sparse_group_lanes=384),
         "sparse-bf16-union": dict(weight_dtype=jnp.bfloat16, sparse=True,
                                   sparse_group_lanes=1152),
+        # Serial-chain restructures: packed single-reduction argmax and
+        # next-step recurrent projections issued off the chain.
+        "sparse-bf16-nopack": dict(weight_dtype=jnp.bfloat16, sparse=True,
+                                   packed_argmax=False),
+        "sparse-bf16-pack": dict(weight_dtype=jnp.bfloat16, sparse=True,
+                                 packed_argmax=True),
+        "sparse-bf16-prerec": dict(weight_dtype=jnp.bfloat16, sparse=True,
+                                   packed_argmax=False, pre_rec=True),
+        "sparse-bf16-pack-prerec": dict(weight_dtype=jnp.bfloat16,
+                                        sparse=True, packed_argmax=True,
+                                        pre_rec=True),
+        "dense-bf16-pack-prerec": dict(weight_dtype=jnp.bfloat16,
+                                       sparse=False, packed_argmax=True,
+                                       pre_rec=True),
         # Bunched models (S samples per GRU step; B=1 latency path).
         "bunch2-dense": dict(bunch=2, sparse=False),
         "bunch2-sparse": dict(bunch=2, sparse=True),
         "bunch4-dense": dict(bunch=4, sparse=False),
         "bunch4-sparse": dict(bunch=4, sparse=True),
+        "bunch4-sparse-nopack": dict(bunch=4, sparse=True,
+                                     packed_argmax=False),
         "bunch8-sparse": dict(bunch=8, sparse=True),
     }
     if args.ablate:
