@@ -509,9 +509,12 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
             else:
                 e = _mulaw_decode(new_exc)
             sample = jnp.clip(pred + e, -1.0, 1.0)  # [B,1]
-            sig_mem_s[...] = jnp.concatenate(
-                [sample, sig_mem[:, :-1]], axis=1
-            )
+            if "shift" in ablate:
+                sig_mem_s[...] = sig_mem + sample  # keeps the dependency
+            else:
+                sig_mem_s[...] = jnp.concatenate(
+                    [sample, sig_mem[:, :-1]], axis=1
+                )
             if "store" not in ablate:
                 sig_out_ref[0, i, :] = sample[:, 0]
             return (gh_a_n, gh_b_n) if pre_rec else 0
@@ -751,7 +754,8 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                          bunch: int, batch: int = 1,
                          stochastic: bool = True, sparse_pattern=None,
                          sparse_group_lanes: int = COL_BLOCK,
-                         packed_argmax: bool = False):
+                         packed_argmax: bool = False,
+                         ablate: frozenset = frozenset()):
     S = bunch
     n_emb = 2 * S + 1
     steps = frame_size // S
@@ -812,12 +816,16 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
         lpc_col = lpc.reshape(lpc_order, 1) if batch == 1 else None
 
         def predict(sig_mem):
+            if "pred" in ablate:
+                return sig_mem[:, :1]
             if batch == 1:
                 return -jnp.dot(sig_mem, lpc_col,
                                 preferred_element_type=jnp.float32)  # [1,1]
             return -jnp.sum(sig_mem * lpc, axis=1, keepdims=True)    # [B,1]
 
         def sample_from(scores):
+            if "argmax" in ablate:
+                return (scores[:, :1] > 0).astype(jnp.int32)
             if stochastic and packed_argmax:
                 return _argmax_packed(scores)
             if stochastic:
@@ -835,7 +843,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
             ).astype(jnp.int32)
 
         def add_noise(logits):
-            if not stochastic:
+            if not stochastic or "noise" in ablate:
                 return logits
             bits = pltpu.prng_random_bits((batch, MULAW_LEVELS))
             bits24 = pltpu.bitcast(
@@ -852,10 +860,18 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
             # One vector encode covers all S signal lags (contiguous in
             # sig_mem); the prediction encode stays separate (independent
             # chain).
-            sig_idx = _mulaw_encode(sig_mem[:, :S])   # [B,S] int32
-            pred_idx = _mulaw_encode(pred)            # [B,1]
+            if "encode" in ablate:
+                sig_idx = (sig_mem[:, :S] > 0).astype(jnp.int32)
+                pred_idx = (pred > 0).astype(jnp.int32)
+            else:
+                sig_idx = _mulaw_encode(sig_mem[:, :S])   # [B,S] int32
+                pred_idx = _mulaw_encode(pred)            # [B,1]
 
-            if fuse_gather:
+            if "gather" in ablate:
+                gx_emb = (jnp.sum(sig_idx, axis=1, keepdims=True) + pred_idx
+                          + jnp.sum(exc_s[...], axis=1, keepdims=True)
+                          ).astype(jnp.float32)
+            elif fuse_gather:
                 rows = []
                 for b in range(batch):
                     entries = [(emb_refs[j], sig_idx[b, j])
@@ -878,7 +894,9 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                                  preferred_element_type=jnp.float32)
             gx_a = gx_emb + gx_a_cond
 
-            if sparse_pattern is not None:
+            if "grua" in ablate:
+                h_a = jnp.tanh(gx_a[:, :gru_a])
+            elif sparse_pattern is not None:
                 h_a = _gru_pre_sparse(gx_a, h_a_s[...], gru_a_wh_ref,
                                       gru_a_bh_ref[...], gru_a,
                                       sparse_pattern, batch,
@@ -891,17 +909,23 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
             gx_b = jnp.dot(h_a.astype(gru_b_wx_ref.dtype),
                            gru_b_wx_ref[pl.ds(0, gru_a), :],
                            preferred_element_type=jnp.float32) + gx_b_cond
-            h_b = _gru_pre(gx_b, h_b_s[...], gru_b_wh_ref[...],
-                           gru_b_bh_ref[...], gru_b)
+            if "grub" in ablate:
+                h_b = jnp.tanh(gx_b[:, :gru_b])
+            else:
+                h_b = _gru_pre(gx_b, h_b_s[...], gru_b_wh_ref[...],
+                               gru_b_bh_ref[...], gru_b)
             h_b_s[...] = h_b
 
             # ALL S dual-FC heads in one MXU dispatch: out_w is
             # [gb, S*2*256], gains match; head j occupies lanes
             # [j*512, (j+1)*512).
-            h_b_w = h_b.astype(out_w_ref.dtype)
-            t_all = jnp.tanh(jnp.dot(h_b_w, out_w_ref[...],
-                                     preferred_element_type=jnp.float32)) \
-                * out_g_ref[...]
+            if "head" in ablate:
+                t_all = h_b[:, :1] * out_g_ref[...]
+            else:
+                h_b_w = h_b.astype(out_w_ref.dtype)
+                t_all = jnp.tanh(jnp.dot(h_b_w, out_w_ref[...],
+                                         preferred_element_type=jnp.float32)) \
+                    * out_g_ref[...]
 
             excs = []
             p = pred
@@ -913,7 +937,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                                   + 2 * MULAW_LEVELS]
                           + out_b_ref[:, j * MULAW_LEVELS:
                                       (j + 1) * MULAW_LEVELS])
-                if j > 0:
+                if j > 0 and "corr" not in ablate:
                     if fuse_gather:
                         corr_rows = []
                         for b in range(batch):
@@ -935,13 +959,24 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                     logits = logits + corr
                 new_exc = sample_from(add_noise(logits))
                 excs.append(new_exc)
-                e = _mulaw_decode(new_exc)
+                if "decode" in ablate:
+                    e = new_exc.astype(jnp.float32) * (1.0 / 128.0)
+                else:
+                    e = _mulaw_decode(new_exc)
                 sample = jnp.clip(p + e, -1.0, 1.0)  # [B,1]
-                sig_mem = jnp.concatenate([sample, sig_mem[:, :-1]], axis=1)
-                sig_out_ref[0, i * S + j, :] = sample[:, 0]
+                if "shift" in ablate:
+                    sig_mem = sig_mem + sample  # keeps the value dependency
+                else:
+                    sig_mem = jnp.concatenate([sample, sig_mem[:, :-1]],
+                                              axis=1)
+                if "store" not in ablate:
+                    sig_out_ref[0, i * S + j, :] = sample[:, 0]
                 if j + 1 < S:
                     p = predict(sig_mem)
-                    p_idx = _mulaw_encode(p)
+                    if "encode" in ablate:
+                        p_idx = (p > 0).astype(jnp.int32)
+                    else:
+                        p_idx = _mulaw_encode(p)
             sig_mem_s[...] = sig_mem
             exc_s[...] = (excs[0] if S == 1
                           else jnp.concatenate(excs[::-1], axis=1))
@@ -960,13 +995,14 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
 @partial(jax.jit, static_argnames=("frame_size", "stochastic",
                                    "weight_dtype", "sparse_pattern",
                                    "sparse_group_lanes", "bunch",
-                                   "packed_argmax"))
+                                   "packed_argmax", "ablate"))
 def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                           sig_mem0, exc0, frame_size: int, bunch: int,
                           stochastic: bool = True,
                           weight_dtype=jnp.bfloat16, sparse_pattern=None,
                           sparse_group_lanes: int = COL_BLOCK,
-                          packed_argmax: bool = False):
+                          packed_argmax: bool = False,
+                          ablate: frozenset = frozenset()):
     """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T]; exc0 [B,S]."""
     T, B, cd = cond.shape
     S = bunch
@@ -985,7 +1021,8 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                                   stochastic=stochastic,
                                   sparse_pattern=sparse_pattern,
                                   sparse_group_lanes=sparse_group_lanes,
-                                  packed_argmax=packed_argmax)
+                                  packed_argmax=packed_argmax,
+                                  ablate=ablate)
     fuse_gather = B <= 4
 
     def frame_spec(shape):
@@ -1107,7 +1144,8 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
                                   stochastic: bool = True, weight_dtype=None,
                                   sparse_pattern=None,
                                   sparse_group_lanes=None,
-                                  packed_argmax=None):
+                                  packed_argmax=None,
+                                  ablate: str = ""):
     """Bunched-model synthesis of T frames.
 
     carry: (h_a [1,ga], h_b [1,gb], sig_mem [1,16], exc_hist [1,S]).
@@ -1137,6 +1175,7 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
         weight_dtype=weight_dtype, sparse_pattern=sparse_pattern,
         sparse_group_lanes=sparse_group_lanes,
         packed_argmax=bool(packed_argmax),
+        ablate=frozenset(a for a in ablate.split(",") if a),
     )
     T, F, B = sig.shape
     sig = jnp.moveaxis(sig.reshape(T * F, B), 0, 1)

@@ -31,10 +31,12 @@ def main():
     ap.add_argument("--chain", type=int, default=24)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--variants", type=str, default="")
-    ap.add_argument("--ablate", action="store_true",
-                    help="profile the sparse-bf16 config by ablating one "
-                         "kernel stage at a time (each replaced by a cheap "
-                         "dependency-preserving op); deltas rank stage cost")
+    ap.add_argument("--ablate", nargs="?", const="sparse-bf16", default=None,
+                    help="profile a base variant (default sparse-bf16; any "
+                         "VARIANTS name works, e.g. bunch4-sparse) by "
+                         "ablating one kernel stage at a time (each replaced "
+                         "by a cheap dependency-preserving op); deltas rank "
+                         "stage cost")
     ap.add_argument("--weights", type=str, default="weights/vocoder_synthetic.npz",
                     help=".npz checkpoint whose gru_a_mask supplies the "
                          "realistic sparse pattern")
@@ -125,11 +127,14 @@ def main():
         "bunch8-sparse": dict(bunch=8, sparse=True),
     }
     if args.ablate:
-        for stage in ("", "pred", "encode", "gather", "grua", "grub",
-                      "head", "noise", "argmax", "decode", "store"):
-            name = f"sparse-bf16~{stage or 'full'}"
-            VARIANTS[name] = dict(weight_dtype=jnp.bfloat16, sparse=True,
-                                  ablate=stage)
+        base = dict(VARIANTS[args.ablate])
+        stages = ["", "pred", "encode", "gather", "grua", "grub",
+                  "head", "noise", "argmax", "decode", "shift", "store"]
+        if base.get("bunch", 1) > 1:
+            stages.insert(stages.index("noise"), "corr")
+        for stage in stages:
+            name = f"{args.ablate}~{stage or 'full'}"
+            VARIANTS[name] = dict(base, ablate=stage)
         names = [n for n in VARIANTS if "~" in n]
     else:
         names = [v for v in args.variants.split(",") if v] or \
