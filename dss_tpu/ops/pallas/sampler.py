@@ -67,7 +67,7 @@ def _one_hot(idx_col, levels, dtype=jnp.float32):
     return (lanes == idx_col).astype(dtype)
 
 
-def _gather_rows_sum(refs_and_idx):
+def _gather_rows_sum(refs_and_idx, vpu: bool = False):
     """Sum of dynamic row gathers from VMEM tables, one MXU dispatch.
 
     Each entry is (ref [R, N], idx): Mosaic requires dynamic sublane
@@ -77,7 +77,28 @@ def _gather_rows_sum(refs_and_idx):
     latency-bound on its serial op chain — one dispatch beats k).
     Traffic is 8 rows per table, still ~60x less than the full one-hot
     matmuls this replaces.
+
+    ``vpu=True`` swaps the one-hot dot for a masked sublane sum: for few
+    tables with narrow rows (the bunched correction gathers, k=2/N=256 =
+    2 vregs) the row select is ~a dozen VPU ops, cheaper on the serial
+    chain than an MXU dispatch.  Bit-identical (the mask zeroes all but
+    one row per table; f32 accumulation either way).  Measured on v5e
+    (S=4 tile-sparse B=1): 0.66 -> 0.54 us/sample (+23% device RTF) —
+    the correction sits on the serial chain S-1 times per GRU step, so
+    dropping its MXU dispatch latency pays directly; default for the
+    bunched correction path.  NOT used for the main embedding gather
+    (2S+1 tables x 9 vregs: the masked sums outweigh one dispatch).
     """
+    if vpu:
+        total = None
+        for ref, idx in refs_and_idx:
+            base = (idx // 8) * 8
+            block = ref[pl.ds(base, 8), :].astype(jnp.float32)  # [8, N]
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                    == (idx - base)).astype(jnp.float32)
+            picked = block * mask
+            total = picked if total is None else total + picked
+        return jnp.sum(total, axis=0, keepdims=True)
     blocks, sels = [], []
     for ref, idx in refs_and_idx:
         base = (idx // 8) * 8
@@ -755,10 +776,12 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                          stochastic: bool = True, sparse_pattern=None,
                          sparse_group_lanes: int = COL_BLOCK,
                          packed_argmax: bool = False,
+                         vpu_corr: bool = False, fma_pred: bool = False,
                          ablate: frozenset = frozenset()):
     S = bunch
     n_emb = 2 * S + 1
     steps = frame_size // S
+    fma_pred = fma_pred and batch == 1 and S > 1
     # Small batches use dynamic row gathers (3 slices/table, latency play);
     # large batches amortize streaming, so one-hot matmuls against STACKED
     # tables (one ref) feed the MXU instead.
@@ -814,6 +837,23 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
         lanes_col = jax.lax.broadcasted_iota(
             jnp.int32, (MULAW_LEVELS, 1), 0).astype(jnp.float32)
         lpc_col = lpc.reshape(lpc_order, 1) if batch == 1 else None
+        if fma_pred:
+            # fma_pred: the intra-bunch LPC predictions leave the serial
+            # chain's MXU.  ONE [1,16]x[16,S] dot at the head of each step
+            # yields p_0 AND the "old samples" partial sums for j>=1
+            # (column j is the lpc taps shifted down by j, zero-padded);
+            # the j new intra-bunch samples then contribute via <=S-1
+            # scalar FMAs, with the newest sample's term applied LAST so
+            # the chain from exc_{j-1} is a single multiply-subtract.
+            # Loop-invariant (lpc is constant per frame), hoisted here.
+            # MEASURED NEGATIVE on v5e (S=4 sparse B=1: 0.66 -> 0.76
+            # us/sample): the scalar FMA chain serializes against the
+            # sig_mem shift that Mosaic otherwise overlaps with the
+            # [1,16]x[16,1] pred dot.  Kept as an off-by-default flag.
+            zpad = jnp.zeros((S - 1, 1), jnp.float32)
+            lsh = jnp.concatenate(
+                [lpc_col] + [jnp.concatenate([lpc_col[j:], zpad[:j]], axis=0)
+                             for j in range(1, S)], axis=1)       # [16, S]
 
         def predict(sig_mem):
             if "pred" in ablate:
@@ -855,7 +895,12 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
 
         def step(i, _):
             sig_mem = sig_mem_s[...]
-            pred = predict(sig_mem)
+            if fma_pred and "pred" not in ablate:
+                po = -jnp.dot(sig_mem, lsh,
+                              preferred_element_type=jnp.float32)  # [1,S]
+                pred = po[:, :1]
+            else:
+                pred = predict(sig_mem)
 
             # One vector encode covers all S signal lags (contiguous in
             # sig_mem); the prediction encode stays separate (independent
@@ -928,6 +973,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                     * out_g_ref[...]
 
             excs = []
+            samples = []
             p = pred
             p_idx = pred_idx
             for j in range(S):
@@ -945,7 +991,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                             corr_rows.append(_gather_rows_sum((
                                 (ce_ref, excs[-1][b, 0]),
                                 (cp_ref, p_idx[b, 0]),
-                            )))
+                            ), vpu=vpu_corr))
                         corr = corr_rows[0] if batch == 1 else \
                             jnp.concatenate(corr_rows, axis=0)
                     else:
@@ -964,6 +1010,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                 else:
                     e = _mulaw_decode(new_exc)
                 sample = jnp.clip(p + e, -1.0, 1.0)  # [B,1]
+                samples.append(sample)
                 if "shift" in ablate:
                     sig_mem = sig_mem + sample  # keeps the value dependency
                 else:
@@ -972,7 +1019,16 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                 if "store" not in ablate:
                     sig_out_ref[0, i * S + j, :] = sample[:, 0]
                 if j + 1 < S:
-                    p = predict(sig_mem)
+                    if fma_pred and "pred" not in ablate:
+                        # p_{j+1} = po[j+1] - sum_k lpc[k]*s_{j-k}; terms
+                        # from older (already-resolved) samples first, the
+                        # newest last — one FMA on the exc_{j} chain.
+                        base = po[:, j + 1:j + 2]
+                        for k in range(1, j + 1):
+                            base = base - lpc[:, k:k + 1] * samples[j - k]
+                        p = base - lpc[:, :1] * sample
+                    else:
+                        p = predict(sig_mem)
                     if "encode" in ablate:
                         p_idx = (p > 0).astype(jnp.int32)
                     else:
@@ -995,13 +1051,15 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
 @partial(jax.jit, static_argnames=("frame_size", "stochastic",
                                    "weight_dtype", "sparse_pattern",
                                    "sparse_group_lanes", "bunch",
-                                   "packed_argmax", "ablate"))
+                                   "packed_argmax", "vpu_corr", "fma_pred",
+                                   "ablate"))
 def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                           sig_mem0, exc0, frame_size: int, bunch: int,
                           stochastic: bool = True,
                           weight_dtype=jnp.bfloat16, sparse_pattern=None,
                           sparse_group_lanes: int = COL_BLOCK,
                           packed_argmax: bool = False,
+                          vpu_corr: bool = False, fma_pred: bool = False,
                           ablate: frozenset = frozenset()):
     """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T]; exc0 [B,S]."""
     T, B, cd = cond.shape
@@ -1022,6 +1080,7 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                                   sparse_pattern=sparse_pattern,
                                   sparse_group_lanes=sparse_group_lanes,
                                   packed_argmax=packed_argmax,
+                                  vpu_corr=vpu_corr, fma_pred=fma_pred,
                                   ablate=ablate)
     fuse_gather = B <= 4
 
@@ -1145,6 +1204,8 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
                                   sparse_pattern=None,
                                   sparse_group_lanes=None,
                                   packed_argmax=None,
+                                  vpu_corr: bool = True,
+                                  fma_pred: bool = False,
                                   ablate: str = ""):
     """Bunched-model synthesis of T frames.
 
@@ -1175,6 +1236,7 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
         weight_dtype=weight_dtype, sparse_pattern=sparse_pattern,
         sparse_group_lanes=sparse_group_lanes,
         packed_argmax=bool(packed_argmax),
+        vpu_corr=vpu_corr, fma_pred=fma_pred,
         ablate=frozenset(a for a in ablate.split(",") if a),
     )
     T, F, B = sig.shape

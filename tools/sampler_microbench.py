@@ -124,6 +124,14 @@ def main():
         "bunch4-sparse": dict(bunch=4, sparse=True),
         "bunch4-sparse-nopack": dict(bunch=4, sparse=True,
                                      packed_argmax=False),
+        # Correction-chain restructures.  VPU masked-sublane-sum row gather
+        # (vs MXU one-hot dot) measured +23% (S=4) / +12% (S=2) device RTF
+        # and is now the DEFAULT (plain bunchN-sparse above exercises it);
+        # -novpuc keeps the old MXU form for A/B.  Scalar-FMA intra-bunch
+        # LPC predictions measured NEGATIVE (0.66 -> 0.76 us/sample).
+        "bunch2-sparse-novpuc": dict(bunch=2, sparse=True, vpu_corr=False),
+        "bunch4-sparse-novpuc": dict(bunch=4, sparse=True, vpu_corr=False),
+        "bunch4-sparse-fmap": dict(bunch=4, sparse=True, fma_pred=True),
         "bunch8-sparse": dict(bunch=8, sparse=True),
     }
     if args.ablate:
