@@ -78,16 +78,16 @@ def _gather_rows_sum(refs_and_idx, vpu: bool = False):
     Traffic is 8 rows per table, still ~60x less than the full one-hot
     matmuls this replaces.
 
-    ``vpu=True`` swaps the one-hot dot for a masked sublane sum: for few
-    tables with narrow rows (the bunched correction gathers, k=2/N=256 =
-    2 vregs) the row select is ~a dozen VPU ops, cheaper on the serial
-    chain than an MXU dispatch.  Bit-identical (the mask zeroes all but
-    one row per table; f32 accumulation either way).  Measured on v5e
-    (S=4 tile-sparse B=1): 0.66 -> 0.54 us/sample (+23% device RTF) —
-    the correction sits on the serial chain S-1 times per GRU step, so
-    dropping its MXU dispatch latency pays directly; default for the
-    bunched correction path.  NOT used for the main embedding gather
-    (2S+1 tables x 9 vregs: the masked sums outweigh one dispatch).
+    ``vpu=True`` swaps the one-hot dot for a masked sublane sum: the row
+    select becomes a handful of VPU ops, cheaper on the serial chain than
+    an MXU dispatch.  Bit-identical (the mask zeroes all but one row per
+    table; f32 accumulation either way; pinned in tests/test_bunched.py
+    and tests/test_pallas.py).  Measured on v5e (tile-sparse B=1,
+    us/sample): bunched corrections (k=2, 2 vregs) 0.66 -> 0.54 at S=4;
+    main embedding gather too — even at 3-9 tables x 9 vregs the masked
+    sums beat the dispatch: b1 1.03 -> 0.89, b2 0.71 -> 0.62,
+    b4 0.54 -> 0.52.  Default everywhere on the fused-gather path; the
+    one-hot dot form is kept for A/B (microbench -novpue/-novpuc).
     """
     if vpu:
         total = None
@@ -287,6 +287,7 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                  fuse_embed: bool = False, hoist_noise: bool = False,
                  unroll: int = 1, sparse_group_lanes: int = COL_BLOCK,
                  pre_rec: bool = False, packed_argmax: bool = False,
+                 vpu_emb: bool = False,
                  ablate: frozenset = frozenset()):
     def kernel(
         # frame-rate inputs (one frame per grid step)
@@ -410,7 +411,7 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                         (emb_sig_ref, sig_idx[b, 0]),
                         (emb_pred_ref, pred_idx[b, 0]),
                         (emb_exc_ref, exc_s[b, 0]),
-                    )))
+                    ), vpu=vpu_emb))
                 gx_emb = rows[0] if batch == 1 else \
                     jnp.concatenate(rows, axis=0)
                 gx_a = gx_emb + gx_a_cond
@@ -558,13 +559,14 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                                    "weight_dtype", "sparse_pattern",
                                    "fuse_embed", "hoist_noise", "unroll",
                                    "sparse_group_lanes", "pre_rec",
-                                   "packed_argmax", "ablate"))
+                                   "packed_argmax", "vpu_emb", "ablate"))
 def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
                   exc0, frame_size: int, stochastic: bool = True,
                   weight_dtype=jnp.bfloat16, sparse_pattern=None,
                   fuse_embed: bool = False, hoist_noise: bool = False,
                   unroll: int = 1, sparse_group_lanes: int = COL_BLOCK,
                   pre_rec: bool = False, packed_argmax: bool = False,
+                  vpu_emb: bool = False,
                   ablate: frozenset = frozenset()):
     """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T] int32."""
     T, B, cd = cond.shape
@@ -587,7 +589,7 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
                           unroll=unroll,
                           sparse_group_lanes=sparse_group_lanes,
                           pre_rec=pre_rec, packed_argmax=packed_argmax,
-                          ablate=ablate)
+                          vpu_emb=vpu_emb, ablate=ablate)
 
     def frame_spec(shape):
         return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
@@ -691,7 +693,7 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
                           sparse_pattern=None, fuse_embed=None,
                           hoist_noise=None, unroll: int = 1,
                           sparse_group_lanes=None, pre_rec=None,
-                          packed_argmax=None,
+                          packed_argmax=None, vpu_emb: bool = True,
                           ablate: str = ""):
     """Synthesize T frames with the Pallas sampler.
 
@@ -754,6 +756,7 @@ def sampler_frames_pallas(model, params, carry, cond_all, lpc_all,
         fuse_embed=bool(fuse_embed), hoist_noise=bool(hoist_noise),
         unroll=unroll, sparse_group_lanes=sparse_group_lanes,
         pre_rec=bool(pre_rec), packed_argmax=bool(packed_argmax),
+        vpu_emb=bool(vpu_emb),
         ablate=frozenset(a for a in ablate.split(",") if a),
     )
     T, F, B = sig.shape
@@ -777,6 +780,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                          sparse_group_lanes: int = COL_BLOCK,
                          packed_argmax: bool = False,
                          vpu_corr: bool = False, fma_pred: bool = False,
+                         vpu_emb: bool = False,
                          ablate: frozenset = frozenset()):
     S = bunch
     n_emb = 2 * S + 1
@@ -924,7 +928,8 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                     entries.append((emb_refs[S], pred_idx[b, 0]))
                     entries += [(emb_refs[S + 1 + j], exc_s[b, j])
                                 for j in range(S)]
-                    rows.append(_gather_rows_sum(tuple(entries)))
+                    rows.append(_gather_rows_sum(tuple(entries),
+                                                 vpu=vpu_emb))
                 gx_emb = rows[0] if batch == 1 else \
                     jnp.concatenate(rows, axis=0)
             else:
@@ -1052,7 +1057,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                                    "weight_dtype", "sparse_pattern",
                                    "sparse_group_lanes", "bunch",
                                    "packed_argmax", "vpu_corr", "fma_pred",
-                                   "ablate"))
+                                   "vpu_emb", "ablate"))
 def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                           sig_mem0, exc0, frame_size: int, bunch: int,
                           stochastic: bool = True,
@@ -1060,6 +1065,7 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                           sparse_group_lanes: int = COL_BLOCK,
                           packed_argmax: bool = False,
                           vpu_corr: bool = False, fma_pred: bool = False,
+                          vpu_emb: bool = False,
                           ablate: frozenset = frozenset()):
     """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T]; exc0 [B,S]."""
     T, B, cd = cond.shape
@@ -1081,7 +1087,7 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                                   sparse_group_lanes=sparse_group_lanes,
                                   packed_argmax=packed_argmax,
                                   vpu_corr=vpu_corr, fma_pred=fma_pred,
-                                  ablate=ablate)
+                                  vpu_emb=vpu_emb, ablate=ablate)
     fuse_gather = B <= 4
 
     def frame_spec(shape):
@@ -1206,6 +1212,7 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
                                   packed_argmax=None,
                                   vpu_corr: bool = True,
                                   fma_pred: bool = False,
+                                  vpu_emb: bool = True,
                                   ablate: str = ""):
     """Bunched-model synthesis of T frames.
 
@@ -1236,7 +1243,7 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
         weight_dtype=weight_dtype, sparse_pattern=sparse_pattern,
         sparse_group_lanes=sparse_group_lanes,
         packed_argmax=bool(packed_argmax),
-        vpu_corr=vpu_corr, fma_pred=fma_pred,
+        vpu_corr=vpu_corr, fma_pred=fma_pred, vpu_emb=vpu_emb,
         ablate=frozenset(a for a in ablate.split(",") if a),
     )
     T, F, B = sig.shape

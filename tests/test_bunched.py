@@ -241,3 +241,37 @@ def test_bunched_vpu_correction_bit_identical(S):
     _, mxu = sampler_frames_bunched_pallas(
         model, params, carry, cond, lpc, temp, vpu_corr=False, **kw)
     assert np.array_equal(np.asarray(vpu), np.asarray(mxu))
+
+
+def test_bunched_vpu_emb_bit_identical():
+    """Same for the bunched main embedding gather (2S+1 tables)."""
+    from dss_tpu.ops.pallas.sampler import (sampler_frames_bunched_pallas,
+                                            tile_sparse_pattern)
+
+    S = 4
+    model = LPCNetModel(bunch=S)
+    params = model.init(jax.random.PRNGKey(0))
+    keep = (np.random.default_rng(5).random((24, 9)) < 0.3)
+    keep[:4] = True
+    mask = np.repeat(np.repeat(keep.astype(np.float32), 16, 0), 128, 1)
+    pattern, _ = tile_sparse_pattern(mask)
+    params = dict(params, gru_a_mask=jnp.asarray(mask))
+
+    rng = np.random.default_rng(17)
+    B, T = 1, 2
+    cond = jnp.asarray(rng.normal(size=(B, T, 128)) * 0.1, jnp.float32)
+    lpc = jnp.asarray(rng.normal(size=(B, T, 16)) * 0.05, jnp.float32)
+    temp = jnp.full((B, T, 1), -1.0, jnp.float32)
+    carry = (jnp.zeros((B, model.gru_a_units)),
+             jnp.zeros((B, model.gru_b_units)),
+             jnp.asarray(rng.normal(size=(B, 16)) * 0.1, jnp.float32),
+             jnp.full((B, S), 128, jnp.int32))
+    kw = dict(seeds=jnp.arange(T, dtype=jnp.int32), frame_size=FRAME_SIZE,
+              stochastic=False, weight_dtype=jnp.float32,
+              sparse_pattern=pattern)
+
+    _, vpu = sampler_frames_bunched_pallas(
+        model, params, carry, cond, lpc, temp, vpu_emb=True, **kw)
+    _, mxu = sampler_frames_bunched_pallas(
+        model, params, carry, cond, lpc, temp, vpu_emb=False, **kw)
+    assert np.array_equal(np.asarray(vpu), np.asarray(mxu))

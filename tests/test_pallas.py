@@ -237,3 +237,40 @@ def test_tile_sparse_pattern_edges():
     pattern, kept = tile_sparse_pattern(m)
     assert pattern is not None and abs(kept - 23 / 24) < 1e-6
     assert 0 not in pattern[0] and 0 in pattern[1]
+
+
+def test_sampler_vpu_emb_bit_identical(rng):
+    """The VPU masked-sublane-sum embedding gather (default) is
+    bit-identical to the MXU one-hot dot it replaced: both sum the same
+    picked rows plus exact zeros."""
+    from dss_tpu.ops.pallas.sampler import (
+        sampler_frames_pallas,
+        tile_sparse_pattern,
+    )
+    from dss_tpu.vocoder.net import LPCNetModel
+
+    model = LPCNetModel(gru_a_units=128, gru_b_units=8, cond_dim=8,
+                        embed_dim=8)
+    params = model.init(jax.random.PRNGKey(2))
+    keep = rng.random((8, 3)) < 0.5
+    keep[0, :] = True
+    mask = np.repeat(np.repeat(keep.astype(np.float32), 16, axis=0),
+                     128, axis=1)
+    params = dict(params, gru_a_mask=jnp.asarray(mask))
+    pattern, _ = tile_sparse_pattern(mask)
+
+    B, T, F = 1, 2, 8
+    cond = jnp.asarray(rng.normal(size=(B, T, 8)), jnp.float32) * 0.5
+    lpc = jnp.asarray(rng.normal(size=(B, T, 16)), jnp.float32) * 0.05
+    temp = -jnp.ones((B, T, 1), jnp.float32)
+    carry0 = (jnp.zeros((B, 128)), jnp.zeros((B, 8)), jnp.zeros((B, 16)),
+              jnp.full((B,), 128, jnp.int32))
+    kw = dict(seeds=jnp.arange(T, dtype=jnp.int32), frame_size=F,
+              stochastic=False, weight_dtype=jnp.float32,
+              sparse_pattern=pattern)
+
+    _, vpu = sampler_frames_pallas(
+        model, params, carry0, cond, lpc, temp, vpu_emb=True, **kw)
+    _, mxu = sampler_frames_pallas(
+        model, params, carry0, cond, lpc, temp, vpu_emb=False, **kw)
+    assert np.array_equal(np.asarray(vpu), np.asarray(mxu))

@@ -132,6 +132,13 @@ def main():
         "bunch2-sparse-novpuc": dict(bunch=2, sparse=True, vpu_corr=False),
         "bunch4-sparse-novpuc": dict(bunch=4, sparse=True, vpu_corr=False),
         "bunch4-sparse-fmap": dict(bunch=4, sparse=True, fma_pred=True),
+        # VPU masked-sum for the MAIN embedding gather measured +16% (b1)
+        # / +15% (b2) / +5% (b4) and is now the DEFAULT; -novpue keeps
+        # the MXU one-hot dot for A/B.
+        "sparse-bf16-novpue": dict(weight_dtype=jnp.bfloat16, sparse=True,
+                                   vpu_emb=False),
+        "bunch4-sparse-novpue": dict(bunch=4, sparse=True, vpu_emb=False),
+        "bunch2-sparse-novpue": dict(bunch=2, sparse=True, vpu_emb=False),
         "bunch8-sparse": dict(bunch=8, sparse=True),
     }
     if args.ablate:
