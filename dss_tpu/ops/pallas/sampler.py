@@ -67,7 +67,7 @@ def _one_hot(idx_col, levels, dtype=jnp.float32):
     return (lanes == idx_col).astype(dtype)
 
 
-def _gather_rows_sum(refs_and_idx, vpu: bool = False):
+def _gather_rows_sum(refs_and_idx, vpu: bool = False, rep: bool = False):
     """Sum of dynamic row gathers from VMEM tables, one MXU dispatch.
 
     Each entry is (ref [R, N], idx): Mosaic requires dynamic sublane
@@ -89,6 +89,14 @@ def _gather_rows_sum(refs_and_idx, vpu: bool = False):
     b4 0.54 -> 0.52.  Default everywhere on the fused-gather path; the
     one-hot dot form is kept for A/B (microbench -novpue/-novpuc).
     """
+    if rep:
+        # Tables stored 8x row-replicated ([8i+k] == row i): every row is
+        # 8-aligned, so the dynamic load needs no mask or sublane reduce.
+        total = None
+        for ref, idx in refs_and_idx:
+            row = ref[pl.ds(idx * 8, 1), :].astype(jnp.float32)  # [1, N]
+            total = row if total is None else total + row
+        return total
     if vpu:
         total = None
         for ref, idx in refs_and_idx:
@@ -780,7 +788,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                          sparse_group_lanes: int = COL_BLOCK,
                          packed_argmax: bool = False,
                          vpu_corr: bool = False, fma_pred: bool = False,
-                         vpu_emb: bool = False,
+                         vpu_emb: bool = False, corr_rep: bool = False,
                          ablate: frozenset = frozenset()):
     S = bunch
     n_emb = 2 * S + 1
@@ -996,7 +1004,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                             corr_rows.append(_gather_rows_sum((
                                 (ce_ref, excs[-1][b, 0]),
                                 (cp_ref, p_idx[b, 0]),
-                            ), vpu=vpu_corr))
+                            ), vpu=vpu_corr, rep=corr_rep))
                         corr = corr_rows[0] if batch == 1 else \
                             jnp.concatenate(corr_rows, axis=0)
                     else:
@@ -1057,7 +1065,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                                    "weight_dtype", "sparse_pattern",
                                    "sparse_group_lanes", "bunch",
                                    "packed_argmax", "vpu_corr", "fma_pred",
-                                   "vpu_emb", "ablate"))
+                                   "vpu_emb", "corr_rep", "ablate"))
 def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                           sig_mem0, exc0, frame_size: int, bunch: int,
                           stochastic: bool = True,
@@ -1065,7 +1073,7 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                           sparse_group_lanes: int = COL_BLOCK,
                           packed_argmax: bool = False,
                           vpu_corr: bool = False, fma_pred: bool = False,
-                          vpu_emb: bool = False,
+                          vpu_emb: bool = False, corr_rep: bool = False,
                           ablate: frozenset = frozenset()):
     """cond [T,B,cd], lpc [T,B,16], temp [T,B,1], seeds [T]; exc0 [B,S]."""
     T, B, cd = cond.shape
@@ -1087,8 +1095,11 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                                   sparse_group_lanes=sparse_group_lanes,
                                   packed_argmax=packed_argmax,
                                   vpu_corr=vpu_corr, fma_pred=fma_pred,
-                                  vpu_emb=vpu_emb, ablate=ablate)
+                                  vpu_emb=vpu_emb,
+                                  corr_rep=corr_rep and B <= 4,
+                                  ablate=ablate)
     fuse_gather = B <= 4
+    corr_rep = corr_rep and fuse_gather
 
     def frame_spec(shape):
         return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
@@ -1150,6 +1161,9 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
         ce = jnp.asarray(weights[f"bunch_exc_emb_b{j}"], jnp.float32)
         cp = jnp.asarray(weights[f"bunch_pred_emb_b{j}"], jnp.float32)
         if fuse_gather:
+            if corr_rep:
+                ce = jnp.repeat(ce, 8, axis=0)
+                cp = jnp.repeat(cp, 8, axis=0)
             weight_vals += [ce, cp]
             matrix += [True, True]
         else:
@@ -1213,6 +1227,7 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
                                   vpu_corr: bool = True,
                                   fma_pred: bool = False,
                                   vpu_emb: bool = True,
+                                  corr_rep: bool = True,
                                   ablate: str = ""):
     """Bunched-model synthesis of T frames.
 
@@ -1244,6 +1259,7 @@ def sampler_frames_bunched_pallas(model, params, carry, cond_all, lpc_all,
         sparse_group_lanes=sparse_group_lanes,
         packed_argmax=bool(packed_argmax),
         vpu_corr=vpu_corr, fma_pred=fma_pred, vpu_emb=vpu_emb,
+        corr_rep=corr_rep,
         ablate=frozenset(a for a in ablate.split(",") if a),
     )
     T, F, B = sig.shape

@@ -239,8 +239,13 @@ def test_bunched_vpu_correction_bit_identical(S):
     _, vpu = sampler_frames_bunched_pallas(
         model, params, carry, cond, lpc, temp, vpu_corr=True, **kw)
     _, mxu = sampler_frames_bunched_pallas(
-        model, params, carry, cond, lpc, temp, vpu_corr=False, **kw)
+        model, params, carry, cond, lpc, temp, vpu_corr=False,
+        corr_rep=False, **kw)
+    _, norep = sampler_frames_bunched_pallas(
+        model, params, carry, cond, lpc, temp, vpu_corr=True,
+        corr_rep=False, **kw)
     assert np.array_equal(np.asarray(vpu), np.asarray(mxu))
+    assert np.array_equal(np.asarray(vpu), np.asarray(norep))
 
 
 def test_bunched_vpu_emb_bit_identical():

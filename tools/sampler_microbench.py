@@ -132,6 +132,10 @@ def main():
         "bunch2-sparse-novpuc": dict(bunch=2, sparse=True, vpu_corr=False),
         "bunch4-sparse-novpuc": dict(bunch=4, sparse=True, vpu_corr=False),
         "bunch4-sparse-fmap": dict(bunch=4, sparse=True, fma_pred=True),
+        # 8x row-replicated correction tables (mask-free aligned loads)
+        # measured +2.5-3% and are the DEFAULT; -nocrep for A/B.
+        "bunch4-sparse-nocrep": dict(bunch=4, sparse=True, corr_rep=False),
+        "bunch2-sparse-nocrep": dict(bunch=2, sparse=True, corr_rep=False),
         # VPU masked-sum for the MAIN embedding gather measured +16% (b1)
         # / +15% (b2) / +5% (b4) and is now the DEFAULT; -novpue keeps
         # the MXU one-hot dot for A/B.
