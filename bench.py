@@ -558,8 +558,11 @@ def main() -> None:
             # otherwise the untrained-weights number is reported as extra.
             from dss_tpu.vocoder import packaged_weights_bunched
 
-            for S in (2, 4):
+            for S in (2, 4, 8):
                 bw = packaged_weights_bunched(S)
+                if S == 8 and bw is None:
+                    continue  # no shipped b8 checkpoint: skip (untrained
+                    # b8 numbers are microbench territory)
                 bres = _bench_vocoder(n_frames=100, batch=1, use_pallas=True,
                                       sparse=True, bunch=S, weights=bw)
                 _PARTIAL["extra"][f"vocoder_bunch{S}_sparse_rtf_device"] = \
