@@ -1,0 +1,94 @@
+"""Shipped speech-trained bunch=8 vocoder weights: quality + speed contract.
+
+weights/vocoder_speech_b8.npz extends the speech-trained bunched family
+to its kernel-saturation point: the sample-rate recurrence runs at 2 kHz
+emitting eight samples per step (microbenched 145x device RTF vs 127x
+for b4).  Trained with the same two-stage ladder on the phoneme-driven
+formant-synthesis corpus
+(tools/make_speech_corpus.py).  These tests pin that the shipped
+checkpoint (a) loads as bunch=8 and is tile-sparse so the sparse Pallas
+sampler engages, (b) beats a Bark-cepstral round-trip floor on held-out
+linguistically structured audio, and (c) keeps the deployed six-keyword
+vocabulary identifiable after resynthesis — matching the intelligibility
+contract of the reference's compiled-in xiph LPCNet weights (reference
+extensions/lpcnet/setup.py:34-36).
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+REPO = Path(__file__).resolve().parent.parent
+WEIGHTS = REPO / "weights" / "vocoder_speech_b8.npz"
+
+pytestmark = pytest.mark.skipif(
+    not WEIGHTS.exists(), reason="bunch=8 speech checkpoint not shipped")
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    """A tiny held-out slice of the speech corpus (unseen seed)."""
+    out = tmp_path_factory.mktemp("speech_heldout_b8")
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "make_speech_corpus.py"),
+         str(out), "--seconds", "4", "--seed", "779"],
+        check=True, capture_output=True,
+    )
+    return out
+
+
+def test_weights_load_as_bunch4_and_are_tile_sparse():
+    from dss_tpu.ops.pallas.sampler import tile_sparse_pattern
+    from dss_tpu.vocoder.net import LPCNetModel
+
+    params = dict(np.load(WEIGHTS))
+    model = LPCNetModel.from_params(params)
+    assert model.bunch == 8
+    pattern, kept = tile_sparse_pattern(params["gru_a_mask"])
+    assert pattern is not None and kept < 1.0
+
+
+def test_roundtrip_quality_floor(corpus_dir):
+    from dss_tpu.eval.quality import score_roundtrip
+    from dss_tpu.vocoder import LPCNet
+
+    _, audio = wavfile.read(corpus_dir / "val" / "val_00.wav")
+    vocoder = LPCNet(backend="net", weights=str(WEIGHTS))
+    report = score_roundtrip(audio[:16000], vocoder)
+    # Ship-time score recorded in STATUS.md; generous margin for sampling
+    # noise and the unseen-seed corpus draw.  Untrained nets score ~33 dB,
+    # the DSP backend ~19 dB on this material.
+    assert report.cepstral_distance_db < 12.0
+
+
+def test_keyword_identification_above_chance(corpus_dir):
+    """Round-trip the six deployed keywords and check each resynthesis is
+    recognized as its own word (DTW Bark-cepstral nearest-original)."""
+    from dss_tpu.eval.quality import keyword_id_accuracy
+    from dss_tpu.vocoder import LPCNet
+    from dss_tpu.vocoder.features import LPCFeatureEncoder
+
+    words = {}
+    for wav in sorted((corpus_dir / "val").glob("kw_*_0.wav")):
+        word = wav.name.split("_")[1]
+        _, audio = wavfile.read(wav)
+        words[word] = audio
+    assert len(words) == 6
+
+    vocoder = LPCNet(backend="net", weights=str(WEIGHTS))
+    originals, resyntheses = {}, {}
+    for word, audio in words.items():
+        feats = LPCFeatureEncoder().compute_LPC_features(audio)
+        vocoder.reset_decoder()
+        syn = vocoder.synthesize_frames(feats)
+        n = len(feats) * 160
+        originals[word] = [audio[:n]]
+        resyntheses[word] = [syn[:n]]
+
+    acc = keyword_id_accuracy(originals, resyntheses)
+    # Chance is 1/6 ~ 0.17; ship-time accuracy recorded in STATUS.md.
+    assert acc >= 0.5
