@@ -576,15 +576,20 @@ def main() -> None:
 
     if not fast:
         try:
-            # Shipped bunched checkpoint, 64-way batched (one-hot kernel).
+            # Shipped bunched checkpoints, 64-way batched (one-hot kernel).
+            # Aggregate throughput grows with S (the GRU dispatches
+            # amortize): measured 2949/3483/4042x for S=2/4/8.
             from dss_tpu.vocoder import packaged_weights_bunched
 
-            b2w = packaged_weights_bunched(2)
-            if b2w is not None:
+            for S in (8, 4, 2):
+                bsw = packaged_weights_bunched(S)
+                if bsw is None:
+                    continue
                 a2 = _bench_vocoder(n_frames=50, batch=64, use_pallas=True,
-                                    weights=b2w)
+                                    weights=bsw)
                 if pal64 is None or a2["rtf_device"] > pal64["rtf_device"]:
                     pal64 = a2
+                break  # largest shipped S is the fastest; one is enough
         except Exception as e:
             _log(f"bunched aggregate bench unavailable: {e}")
 
