@@ -144,6 +144,7 @@ def main():
         "bunch4-sparse-novpue": dict(bunch=4, sparse=True, vpu_emb=False),
         "bunch2-sparse-novpue": dict(bunch=2, sparse=True, vpu_emb=False),
         "bunch8-sparse": dict(bunch=8, sparse=True),
+        "bunch16-sparse": dict(bunch=16, sparse=True),
     }
     if args.ablate:
         base = dict(VARIANTS[args.ablate])
