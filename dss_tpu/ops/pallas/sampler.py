@@ -373,6 +373,11 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
         # of h, so the projection for step t+1 is issued right after h_t
         # lands and rides the loop carry — its latency hides behind the
         # rest of the iteration instead of heading the serial chain.
+        # BOTH modes measured negative on v5e (sparse B=1): True (carry
+        # both GRUs, 9+1 vregs) 1.05 -> 1.15 us/sample; "b" (carry only
+        # GRU-B's 1 vreg) 0.88 -> 1.01 — Mosaic already overlaps the gh
+        # dots with the embedding front chain, and loop-carried vregs
+        # disrupt that schedule.  Kept as flags for future configs.
         def gh_a_of(h):
             if sparse_pattern is not None:
                 return _gh_sparse(h, gru_a_wh_ref, gru_a_bh_ref[...],
@@ -384,7 +389,15 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
             return _gh_dense(h, gru_b_wh_ref[...], gru_b_bh_ref[...])
 
         def step(i, carry):
-            gh_a_p, gh_b_p = carry if pre_rec else (None, None)
+            # pre_rec=True carries both projections; pre_rec="b" carries
+            # only GRU-B's [1, 3*gru_b] (1 vreg — the full-mode gh_a carry
+            # is 9 vregs and measured negative).
+            if pre_rec is True:
+                gh_a_p, gh_b_p = carry
+            elif pre_rec == "b":
+                gh_a_p, gh_b_p = None, carry
+            else:
+                gh_a_p, gh_b_p = None, None
             sig_mem = sig_mem_s[...]
             if "pred" in ablate:
                 pred = sig_mem[:, :1]
@@ -441,7 +454,7 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                                preferred_element_type=jnp.float32) + gx_a_cond
             if "grua" in ablate:
                 h_a = jnp.tanh(gx_a[:, :gru_a])
-            elif pre_rec:
+            elif pre_rec is True:
                 h_a = _gru_combine(gx_a, gh_a_p, h_a_s[...], gru_a)
             elif sparse_pattern is not None:
                 h_a = _gru_pre_sparse(gx_a, h_a_s[...], gru_a_wh_ref,
@@ -452,7 +465,7 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                 h_a = _gru_pre(gx_a, h_a_s[...], gru_a_wh_ref[...],
                                gru_a_bh_ref[...], gru_a)
             h_a_s[...] = h_a
-            gh_a_n = gh_a_of(h_a) if pre_rec else None
+            gh_a_n = gh_a_of(h_a) if pre_rec is True else None
 
             gx_b = jnp.dot(h_a.astype(gru_b_wx_ref.dtype),
                            gru_b_wx_ref[pl.ds(0, gru_a), :],
@@ -547,9 +560,18 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                 )
             if "store" not in ablate:
                 sig_out_ref[0, i, :] = sample[:, 0]
-            return (gh_a_n, gh_b_n) if pre_rec else 0
+            if pre_rec is True:
+                return (gh_a_n, gh_b_n)
+            if pre_rec == "b":
+                return gh_b_n
+            return 0
 
-        carry0 = (gh_a_of(h_a_s[...]), gh_b_of(h_b_s[...])) if pre_rec else 0
+        if pre_rec is True:
+            carry0 = (gh_a_of(h_a_s[...]), gh_b_of(h_b_s[...]))
+        elif pre_rec == "b":
+            carry0 = gh_b_of(h_b_s[...])
+        else:
+            carry0 = 0
         if unroll > 1:
             jax.lax.fori_loop(0, frame_size, step, carry0, unroll=unroll)
         else:

@@ -111,6 +111,12 @@ def main():
                                  packed_argmax=True),
         "sparse-bf16-prerec": dict(weight_dtype=jnp.bfloat16, sparse=True,
                                    packed_argmax=False, pre_rec=True),
+        # GRU-B-only projection carry (1 vreg vs full mode's 9):
+        # STILL NEGATIVE (0.88 -> 1.01 us/sample) — any loop-carried
+        # restructure disrupts Mosaic's own overlap of gh_b with the
+        # front chain.
+        "sparse-bf16-prerecb": dict(weight_dtype=jnp.bfloat16, sparse=True,
+                                    pre_rec="b"),
         "sparse-bf16-pack-prerec": dict(weight_dtype=jnp.bfloat16,
                                         sparse=True, packed_argmax=True,
                                         pre_rec=True),
