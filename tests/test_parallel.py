@@ -177,3 +177,39 @@ def test_sharded_vocoder_train_step_matches_single_device():
         sh_grad = jax.grad(lambda p: trainer._loss(p, fb, sb, key))(pr)
     np.testing.assert_allclose(np.asarray(sh_grad["gru_a_wh"]),
                                np.asarray(ref_grad["gru_a_wh"]), atol=1e-5)
+
+
+def test_sharded_batched_vocoder_bunched():
+    """The serving shard placement is shape-generic: a bunched model's
+    stream state (incl. the [B, S] excitation history) lands on the data
+    axis and synthesizes in one SPMD program."""
+    import jax.numpy as jnp
+
+    from dss_tpu.parallel import batched_vocoder_sharding
+    from dss_tpu.vocoder.net import (
+        LPCNetModel,
+        net_synthesize_frames,
+        net_vocoder_init,
+    )
+
+    model = LPCNetModel(gru_a_units=16, gru_b_units=8, cond_dim=8,
+                        embed_dim=8, bunch=2)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.normal(size=(8, 2, 20)) * 0.1, jnp.float32)
+
+    state = net_vocoder_init(model, batch=8)
+    want, _ = net_synthesize_frames(model, params, state, feats)
+
+    mesh = make_mesh(8, model_parallel=1)
+    with mesh:
+        sstate, sfeats = batched_vocoder_sharding(
+            mesh, net_vocoder_init(model, batch=8), np.asarray(feats))
+        got, _ = net_synthesize_frames(model, params, sstate, sfeats)
+
+    got = np.asarray(got)
+    want = np.asarray(want)
+    assert got.shape == want.shape
+    assert np.all(np.abs(got) <= 1.0)
+    agreement = float((np.abs(got - want) < 1e-5).mean())
+    assert agreement > 0.6, f"sharded trajectory agreement {agreement:.2f}"
