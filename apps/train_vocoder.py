@@ -153,6 +153,7 @@ def main() -> None:
 
     init_params = None
     inherited_density = None
+    ramp_start_density = 1.0
     if args.init_weights:
         init_params = {k: jnp.asarray(v)
                        for k, v in np.load(args.init_weights).items()}
@@ -172,6 +173,19 @@ def main() -> None:
                 logger.info(
                     f"Checkpoint mask density {mask_density:.3f} <= target "
                     f"{args.density}: pruning disabled, mask inherited")
+            elif mask_density < 1.0 - 1e-3:
+                # Partially pruned checkpoint (e.g. a stage-1 best captured
+                # mid-recovery-window at 0.22-0.30): ramp from ITS density
+                # down to the target, never above — a ramp restarted from
+                # 1.0 would re-admit zeroed tiles (regrowth) and spend most
+                # of the run above the best-by-validation density gate
+                # (seen live: a 160-epoch fine-tune whose 2.73 dB epoch-65
+                # score was rejected because the from-1.0 ramp sat at 0.55).
+                ramp_start_density = mask_density
+                logger.info(
+                    f"Checkpoint mask density {mask_density:.3f} > target "
+                    f"{args.density}: prune ramp starts at the checkpoint "
+                    f"density")
     else:
         model = LPCNetModel(bunch=args.bunch)
     trainer = VocoderTrainer(model, learning_rate=args.lr,
@@ -240,10 +254,14 @@ def main() -> None:
         elif epoch >= prune_start and args.density < 1.0:
             progress = min(1.0, (epoch - prune_start + 1)
                            / max(1, prune_end - prune_start))
-            density = 1.0 - (1.0 - args.density) * progress
+            density = ramp_start_density \
+                - (ramp_start_density - args.density) * progress
             params = trainer.sparsify(params, density)
         else:
-            density = 1.0
+            # Pre-ramp epochs still carry the checkpoint's mask (masked
+            # weights get zero gradient), so gate best-by-validation on
+            # ITS density, not a fictitious 1.0.
+            density = ramp_start_density
 
         logger.info(
             f"Epoch {epoch + 1:>03}: CE loss {np.mean(losses):.4f} "

@@ -338,3 +338,57 @@ def test_freerun_train_step_bunched(rng):
     for k in ("gru_a_wh", "gru_b_wh", "fc_out1_w", "fc_out1_w_b1",
               "bunch_exc_emb_b1", "emb_sig_l1"):
         assert np.abs(np.asarray(params[k]) - before[k]).max() > 0, k
+
+
+def test_init_weights_partial_mask_ramps_from_checkpoint_density(
+        tmp_path, monkeypatch, caplog):
+    """--init-weights from a PARTIALLY pruned checkpoint (denser than the
+    target, e.g. a stage-1 best captured mid-recovery-window at 0.25)
+    must ramp from ITS density down to the target — a ramp restarted
+    from 1.0 re-admits zeroed tiles (regrowth) and spends most of the
+    run above the best-by-validation density gate (observed live: a
+    160-epoch fine-tune whose 2.73 dB epoch-65 score was rejected
+    because the from-1.0 ramp sat at 0.55)."""
+    import logging
+    import sys
+
+    from scipy.io.wavfile import write as wavwrite
+
+    sys.path.insert(0, str(
+        __import__("pathlib").Path(__file__).resolve().parent.parent / "apps"))
+    import train_vocoder
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=12800) * 3000).astype(np.int16)
+    wavwrite(wav_dir / "utt.wav", 16000, audio)
+
+    def run(out, args):
+        monkeypatch.setattr(sys, "argv", ["train_vocoder.py", str(wav_dir),
+                                          str(out), "--batch", "2",
+                                          "--chunk-frames", "4"] + args)
+        train_vocoder.main()
+
+    # Stage 1: prune to 0.5 — denser than stage 2's 0.25 target.
+    run(tmp_path / "a", ["--epochs", "2", "--density", "0.5"])
+    mask_in = np.load(tmp_path / "a" / "vocoder.npz")["gru_a_mask"]
+    d_in = mask_in.mean()
+    assert 0 < d_in <= 0.5 + 1e-6
+
+    # Stage 2 with a lower target: the ramp must start at the
+    # checkpoint's density (never above), and end at the new target.
+    with caplog.at_level(logging.INFO):
+        run(tmp_path / "b", ["--epochs", "5", "--density", "0.25",
+                             "--init-weights",
+                             str(tmp_path / "a" / "vocoder.npz")])
+    assert "prune ramp starts at the checkpoint density" in caplog.text
+    for rec in caplog.records:
+        msg = rec.getMessage()
+        if "GRU-A density" in msg:
+            d = float(msg.split("GRU-A density ")[1].rstrip(")"))
+            assert d <= d_in + 1e-2, f"ramp exceeded checkpoint density: {msg}"
+    mask_out = np.load(tmp_path / "b" / "vocoder.npz")["gru_a_mask"]
+    assert mask_out.mean() <= 0.25 + 1e-3
+    # No regrowth: the final mask is a subset of the checkpoint mask.
+    assert np.all(mask_out <= mask_in + 1e-6)
