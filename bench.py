@@ -331,18 +331,31 @@ def _bench_segment_path(frames: int = 300) -> dict:
 
     Two variants: the separate decode + vocode chain (two dispatches, two
     device->host reads) and the fused one-program path used by the online
-    FusedDecoderVocoder unit (one dispatch, one packed read)."""
+    FusedDecoderVocoder unit (one dispatch, one packed read).
+
+    Vocoder weights are the shipped checkpoints decode_online defaults to
+    (quality-default flagship; plus the largest shipped bunched checkpoint,
+    the latency-optimal config) so the numbers reflect what ships —
+    random-init dense weights only when no checkpoint is packaged."""
     import jax
     import jax.numpy as jnp
 
     from dss_tpu.models import BidirectionalSpeechSynthesisModel
-    from dss_tpu.vocoder import LPCNetModel
+    from dss_tpu.vocoder import LPCNetModel, packaged_weights
+    from dss_tpu.vocoder.lpcnet import _load_params, _sparse_pattern_of
     from dss_tpu.vocoder.net import net_synthesize_frames, net_vocoder_init
 
     decoder = BidirectionalSpeechSynthesisModel(2, 100, 64)
     dec_params = decoder.init(jax.random.PRNGKey(0))
-    voc = LPCNetModel()
-    voc_params = voc.init(jax.random.PRNGKey(1))
+    shipped = packaged_weights()
+    if shipped is not None:
+        voc_params = _load_params(shipped)
+        voc = LPCNetModel.from_params(voc_params)
+        _log(f"segment-path: vocoder weights {shipped}")
+    else:
+        voc = LPCNetModel()
+        voc_params = voc.init(jax.random.PRNGKey(1))
+    sparse = _sparse_pattern_of(voc_params, True)
     state = net_vocoder_init(voc, batch=1)
 
     @jax.jit
@@ -354,7 +367,8 @@ def _bench_segment_path(frames: int = 300) -> dict:
     def fused(voc_state, segment):
         pred, _ = decoder.apply(dec_params, segment)
         pcm, voc_state = net_synthesize_frames(voc, voc_params, voc_state,
-                                               pred, use_pallas=True)
+                                               pred, use_pallas=True,
+                                               sparse_pattern=sparse)
         return jnp.concatenate([pred.reshape(-1), pcm.reshape(-1)]), voc_state
 
     rng = np.random.default_rng(0)
@@ -363,7 +377,7 @@ def _bench_segment_path(frames: int = 300) -> dict:
     _log("segment-path: compiling...")
     lpc = decode(segment)
     pcm, st = net_synthesize_frames(voc, voc_params, state, lpc,
-                                    use_pallas=True)
+                                    use_pallas=True, sparse_pattern=sparse)
     _sync(lpc)
     _sync(pcm)
 
@@ -373,7 +387,7 @@ def _bench_segment_path(frames: int = 300) -> dict:
         lpc = decode(segment)
         _sync(lpc)  # the separate chain reads features back between units
         pcm, st = net_synthesize_frames(voc, voc_params, st, lpc,
-                                        use_pallas=True)
+                                        use_pallas=True, sparse_pattern=sparse)
         _sync(pcm)
         best = min(best, time.perf_counter() - t0)
     ms_sep = best * 1000
@@ -389,7 +403,42 @@ def _bench_segment_path(frames: int = 300) -> dict:
         best = min(best, time.perf_counter() - t0)
     ms_fused = best * 1000
     _log(f"segment-path[fused]: {frames} frames -> audio in {ms_fused:.1f} ms")
-    return {"separate_ms": ms_sep, "fused_ms": ms_fused}
+    out = {"separate_ms": ms_sep, "fused_ms": ms_fused}
+
+    # Latency-optimal config: the largest shipped bunched checkpoint (what
+    # the closed loop runs when configured for minimum word latency).
+    from dss_tpu.vocoder import packaged_weights_bunched
+
+    bshipped = next((w for S in (8, 4, 2)
+                     if (w := packaged_weights_bunched(S)) is not None), None)
+    if bshipped is not None:
+        bparams = _load_params(bshipped)
+        bvoc = LPCNetModel.from_params(bparams)
+        bsparse = _sparse_pattern_of(bparams, True)
+        bstate = net_vocoder_init(bvoc, batch=1)
+        _log(f"segment-path: bunched vocoder weights {bshipped}")
+
+        @jax.jit
+        def fused_b(voc_state, segment):
+            pred, _ = decoder.apply(dec_params, segment)
+            pcm, voc_state = net_synthesize_frames(
+                bvoc, bparams, voc_state, pred, use_pallas=True,
+                sparse_pattern=bsparse)
+            return (jnp.concatenate([pred.reshape(-1), pcm.reshape(-1)]),
+                    voc_state)
+
+        packed, st3 = fused_b(bstate, segment)
+        _sync(packed)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            packed, st3 = fused_b(st3, segment)
+            _sync(packed)
+            best = min(best, time.perf_counter() - t0)
+        out["fused_bunched_ms"] = best * 1000
+        _log(f"segment-path[fused, bunched]: {frames} frames -> audio in "
+             f"{out['fused_bunched_ms']:.1f} ms")
+    return out
 
 
 def _bench_train_step(batch: int = 16, frames: int = 300,
@@ -635,6 +684,9 @@ def main() -> None:
         round(seg["fused_ms"], 3)
     _PARTIAL["extra"]["segment_300frames_separate_chain_ms"] = \
         round(seg["separate_ms"], 3)
+    if "fused_bunched_ms" in seg:
+        _PARTIAL["extra"]["segment_300frames_to_audio_bunched_ms"] = \
+            round(seg["fused_bunched_ms"], 3)
     _PARTIAL["extra"]["scaleup_8x256ch_frames_per_sec"] = \
         round(_bench_scaleup(), 1)
 
