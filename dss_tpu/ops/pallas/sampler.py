@@ -295,7 +295,7 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                  fuse_embed: bool = False, hoist_noise: bool = False,
                  unroll: int = 1, sparse_group_lanes: int = COL_BLOCK,
                  pre_rec: bool = False, packed_argmax: bool = False,
-                 vpu_emb: bool = False,
+                 vpu_emb: bool = False, inner_bias: bool = False,
                  ablate: frozenset = frozenset()):
     def kernel(
         # frame-rate inputs (one frame per grid step)
@@ -308,7 +308,7 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
         emb_sig_ref, emb_pred_ref, emb_exc_ref,
         gru_a_wx_ref, gru_a_wh_ref, gru_a_bx_ref, gru_a_bh_ref,
         gru_b_wx_ref, gru_b_wh_ref, gru_b_bx_ref, gru_b_bh_ref,
-        out1_w_ref, out1_g_ref, out_b_ref,
+        out1_w_ref, out1_g_ref, out_ib_ref, out_b_ref,
         # initial state (read at step 0)
         h_a0_ref, h_b0_ref, sig_mem0_ref, exc0_ref,
         # outputs
@@ -488,9 +488,15 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                 logits = h_b[:, :1] + out_b_ref[...]
             else:
                 h_b_w = h_b.astype(out1_w_ref.dtype)
-                t12 = jnp.tanh(jnp.dot(h_b_w, out1_w_ref[...],
-                                       preferred_element_type=jnp.float32)) \
-                    * out1_g_ref[...]
+                pre = jnp.dot(h_b_w, out1_w_ref[...],
+                              preferred_element_type=jnp.float32)
+                if inner_bias:
+                    # Per-channel dual-FC biases INSIDE the tanh: xiph's
+                    # MDense head (imported checkpoints, vocoder/interop.py).
+                    # Static flag so native checkpoints pay no extra op on
+                    # the serial chain.
+                    pre = pre + out_ib_ref[...]
+                t12 = jnp.tanh(pre) * out1_g_ref[...]
                 logits = (t12[:, :MULAW_LEVELS] + t12[:, MULAW_LEVELS:]
                           + out_b_ref[...])
 
@@ -612,6 +618,11 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
         sparse_pattern = merge_pattern(sparse_pattern,
                                        sparse_group_lanes // COL_BLOCK)
 
+    # Imported xiph checkpoints carry per-channel dual-FC biases inside the
+    # tanh (MDense); presence of the key is part of the pytree structure, so
+    # this is a static branch.
+    inner_bias = "fc_out1_b" in weights
+
     kernel = _make_kernel(frame_size, lpc_order, gru_a, gru_b, cd,
                           embed_dim, B, stochastic=stochastic,
                           sparse_pattern=sparse_pattern,
@@ -619,7 +630,8 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
                           unroll=unroll,
                           sparse_group_lanes=sparse_group_lanes,
                           pre_rec=pre_rec, packed_argmax=packed_argmax,
-                          vpu_emb=vpu_emb, ablate=ablate)
+                          vpu_emb=vpu_emb, inner_bias=inner_bias,
+                          ablate=ablate)
 
     def frame_spec(shape):
         return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
@@ -632,7 +644,7 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
         "emb_sig", "emb_pred", "emb_exc",
         "gru_a_wx", "gru_a_wh", "gru_a_bx", "gru_a_bh",
         "gru_b_wx", "gru_b_wh", "gru_b_bx", "gru_b_bh",
-        "fc_out1_w", "fc_out1_g", "fc_out_b",
+        "fc_out1_w", "fc_out1_g", "fc_out_ib", "fc_out_b",
     ]
     # Large matrices stream from VMEM every sample step, which is the
     # kernel's bottleneck at small batch — bf16 halves that traffic (MXU
@@ -648,6 +660,13 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
         "fc_out1_g": jnp.concatenate(
             [jnp.asarray(weights["fc_out1_g"], jnp.float32),
              jnp.asarray(weights["fc_out2_g"], jnp.float32)], axis=-1),
+        # Inner (pre-tanh) per-channel biases; zeros placeholder keeps the
+        # kernel signature fixed when the checkpoint has none (static
+        # inner_bias flag elides the add).
+        "fc_out_ib": (jnp.concatenate(
+            [jnp.asarray(weights["fc_out1_b"], jnp.float32),
+             jnp.asarray(weights["fc_out2_b"], jnp.float32)], axis=-1)
+            if inner_bias else jnp.zeros(2 * MULAW_LEVELS, jnp.float32)),
     }
     if fuse_embed:
         # Pre-fuse each embedding table with its gru_a_wx row band:
@@ -661,7 +680,7 @@ def _sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0, sig_mem0,
 
     weight_vals = []
     for k in weight_order:
-        w = fused.get(k, weights[k])
+        w = fused[k] if k in fused else weights[k]
         if k == "gru_a_wh":
             w = w * weights["gru_a_mask"]
             if sparse_pattern is not None:
@@ -811,6 +830,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                          packed_argmax: bool = False,
                          vpu_corr: bool = False, fma_pred: bool = False,
                          vpu_emb: bool = False, corr_rep: bool = False,
+                         inner_bias: bool = False,
                          ablate: frozenset = frozenset()):
     S = bunch
     n_emb = 2 * S + 1
@@ -830,7 +850,8 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
         gru_a_bx_ref = next(it); gru_a_bh_ref = next(it)
         gru_b_wx_ref = next(it); gru_b_wh_ref = next(it)
         gru_b_bx_ref = next(it); gru_b_bh_ref = next(it)
-        out_w_ref = next(it); out_g_ref = next(it); out_b_ref = next(it)
+        out_w_ref = next(it); out_g_ref = next(it)
+        out_ib_ref = next(it); out_b_ref = next(it)
         corr_refs = [(next(it), next(it)) if fuse_gather else (next(it),)
                      for _ in range(S - 1)]
         h_a0_ref = next(it); h_b0_ref = next(it)
@@ -1003,9 +1024,13 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                 t_all = h_b[:, :1] * out_g_ref[...]
             else:
                 h_b_w = h_b.astype(out_w_ref.dtype)
-                t_all = jnp.tanh(jnp.dot(h_b_w, out_w_ref[...],
-                                         preferred_element_type=jnp.float32)) \
-                    * out_g_ref[...]
+                pre_t = jnp.dot(h_b_w, out_w_ref[...],
+                                preferred_element_type=jnp.float32)
+                if inner_bias:
+                    # xiph-style MDense inner biases (static flag: native
+                    # checkpoints pay nothing on the serial chain).
+                    pre_t = pre_t + out_ib_ref[...]
+                t_all = jnp.tanh(pre_t) * out_g_ref[...]
 
             excs = []
             samples = []
@@ -1110,6 +1135,12 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
         sparse_pattern = merge_pattern(sparse_pattern,
                                        sparse_group_lanes // COL_BLOCK)
 
+    def _ib_key(j, n):
+        return f"fc_out{n}_b" if j == 0 else f"fc_out{n}_b_b{j}"
+
+    inner_bias = any(_ib_key(j, n) in weights
+                     for j in range(S) for n in (1, 2))
+
     kernel = _make_bunched_kernel(frame_size, lpc_order, gru_a, gru_b, cd,
                                   embed_dim, S, batch=B,
                                   stochastic=stochastic,
@@ -1119,6 +1150,7 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
                                   vpu_corr=vpu_corr, fma_pred=fma_pred,
                                   vpu_emb=vpu_emb,
                                   corr_rep=corr_rep and B <= 4,
+                                  inner_bias=inner_bias,
                                   ablate=ablate)
     fuse_gather = B <= 4
     corr_rep = corr_rep and fuse_gather
@@ -1166,7 +1198,9 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
         matrix.append(m)
 
     # Heads: per-sub-sample dual FCs fused into one [gb, S*2*256] matrix.
-    ws, gs, bs = [], [], []
+    # ibs carries the inner (pre-tanh) per-channel biases in matching lane
+    # order (zeros where a head has none; elided by the static flag).
+    ws, gs, bs, ibs = [], [], [], []
     for j in range(S):
         sfx = "" if j == 0 else f"_b{j}"
         ws += [jnp.asarray(weights[f"fc_out1_w{sfx}"], jnp.float32),
@@ -1174,10 +1208,16 @@ def _bunched_sampler_call(cond, lpc, temp, seeds, weights, h_a0, h_b0,
         gs += [jnp.asarray(weights[f"fc_out1_g{sfx}"], jnp.float32),
                jnp.asarray(weights[f"fc_out2_g{sfx}"], jnp.float32)]
         bs.append(jnp.asarray(weights[f"fc_out_b{sfx}"], jnp.float32))
+        for n in (1, 2):
+            key = _ib_key(j, n)
+            ibs.append(jnp.asarray(weights[key], jnp.float32)
+                       if key in weights
+                       else jnp.zeros(MULAW_LEVELS, jnp.float32))
     weight_vals += [jnp.concatenate(ws, axis=1),
                     jnp.concatenate(gs, axis=-1),
+                    jnp.concatenate(ibs, axis=-1),
                     jnp.concatenate(bs, axis=-1)]
-    matrix += [True, False, False]
+    matrix += [True, False, False, False]
 
     for j in range(1, S):
         ce = jnp.asarray(weights[f"bunch_exc_emb_b{j}"], jnp.float32)

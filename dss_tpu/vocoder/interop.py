@@ -40,9 +40,10 @@ Both GRUs must be ``reset_after`` (CuDNN-compatible — upstream trains them
 that way); a 1-D GRU bias is rejected because the reset-before recurrence
 computes a different candidate state.
 
-Checkpoints with inner dual-FC biases run the XLA scan path (the Pallas
-kernels implement the native outside-bias head; see
-``lpcnet.params_require_scan``).
+Imported checkpoints run the same fast paths as native ones: the Pallas
+sampler kernels implement the inner (pre-tanh) dual-FC biases behind a
+static flag (ops/pallas/sampler.py), so xiph-trained models get the full
+kernel speed, not a scan fallback.
 """
 
 from __future__ import annotations
@@ -214,7 +215,8 @@ def import_lpcnet_h5(path: str, strict: bool = True):
                         cond_dim=cond_dim, embed_dim=embed_dim)
     logger.info(
         f"imported LPCNet h5: gru_a={gru_a['units']} gru_b={gru_b['units']} "
-        f"cond={cond_dim} embed={embed_dim} (scan path; shared embed table)")
+        f"cond={cond_dim} embed={embed_dim} (shared embed table; "
+        f"inner-bias head runs the Pallas fast path)")
     return params, model
 
 

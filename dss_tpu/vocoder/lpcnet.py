@@ -47,13 +47,6 @@ def _resolve_use_pallas(use_pallas) -> bool:
     return bool(use_pallas)
 
 
-def params_require_scan(params) -> bool:
-    """True for checkpoint features the Pallas kernels do not implement
-    yet: per-channel dual-FC biases inside the tanh (imported xiph-LPCNet
-    models, vocoder/interop.py).  Such params run the XLA scan path."""
-    return params is not None and "fc_out1_b" in params
-
-
 def _sparse_pattern_of(params, use_pallas: bool):
     """Static GRU-A tile keep-pattern when the trained mask is tile-sparse
     (Pallas path only; the pattern must be derived outside jit)."""
@@ -98,8 +91,6 @@ class LPCNet:
                 import jax
 
                 self._params = self._model.init(jax.random.PRNGKey(0))
-            if self.use_pallas and params_require_scan(self._params):
-                self.use_pallas = False
             self._sparse = _sparse_pattern_of(self._params, self.use_pallas)
             self.reset_decoder()
 
@@ -191,8 +182,6 @@ class BatchedLPCNet:
                 import jax
 
                 self._params = self._model.init(jax.random.PRNGKey(0))
-            if self.use_pallas and params_require_scan(self._params):
-                self.use_pallas = False
             self._sparse = _sparse_pattern_of(self._params, self.use_pallas)
             self._state = net_vocoder_init(self._model, batch=batch, seed=seed)
 

@@ -237,9 +237,11 @@ class LPCNetModel:
         """Dual-FC output head for intra-bunch sub-sample ``j``."""
         if j == 0:
             return self.sample_logits(params, h_b)
-        t1 = jnp.tanh(h_b @ params[f"fc_out1_w_b{j}"]) \
+        b1 = params.get(f"fc_out1_b_b{j}", 0.0)
+        b2 = params.get(f"fc_out2_b_b{j}", 0.0)
+        t1 = jnp.tanh(h_b @ params[f"fc_out1_w_b{j}"] + b1) \
             * params[f"fc_out1_g_b{j}"]
-        t2 = jnp.tanh(h_b @ params[f"fc_out2_w_b{j}"]) \
+        t2 = jnp.tanh(h_b @ params[f"fc_out2_w_b{j}"] + b2) \
             * params[f"fc_out2_g_b{j}"]
         return t1 + t2 + params[f"fc_out_b_b{j}"]
 

@@ -6,6 +6,12 @@ head, shared embedding fan-out, pitch-embedding frame net — are each pinned
 against an independent numpy implementation of the UPSTREAM semantics.
 """
 
+import os
+
+# Must be set before dss_tpu.ops.pallas.sampler imports (CPU runs the
+# kernels through the Pallas interpreter).
+os.environ["DSS_PALLAS_INTERPRET"] = "1"
+
 import numpy as np
 import pytest
 
@@ -17,7 +23,7 @@ from dss_tpu.vocoder.interop import (  # noqa: E402
     import_lpcnet_h5,
     reimport_native_h5,
 )
-from dss_tpu.vocoder.lpcnet import LPCNet, params_require_scan  # noqa: E402
+from dss_tpu.vocoder.lpcnet import LPCNet  # noqa: E402
 from dss_tpu.vocoder.net import LPCNetModel  # noqa: E402
 
 
@@ -137,12 +143,10 @@ def test_foreign_import_synthesizes(tmp_path):
     path = _foreign_h5(tmp_path, rng)
     params, model = import_lpcnet_h5(path)
 
-    assert params_require_scan(params)  # inner-bias head -> scan path
     np.testing.assert_array_equal(params["emb_sig"], params["emb_pred"])
     np.testing.assert_array_equal(params["emb_sig"], params["emb_exc"])
 
     voc = LPCNet(backend="net", model=model, weights=params)
-    assert voc.use_pallas is False
     feats = (rng.normal(size=(4, 20)) * 0.1).astype(np.float32)
     feats[:, 18] = 0.2  # period ~ 110 samples
     pcm = voc.synthesize_frames(feats)
@@ -179,6 +183,112 @@ def test_mdense_mapping_matches_upstream(tmp_path):
     got = model.sample_logits({k: jnp.asarray(v) for k, v in params.items()},
                               jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_foreign_inner_bias_pallas_matches_scan(tmp_path, sparse):
+    """An imported xiph-style checkpoint (per-channel dual-FC biases inside
+    the tanh) must run the Pallas kernel bit-identically to the scan path —
+    the imported-model fast path, dense and tile-sparse."""
+    from dss_tpu.ops.pallas.sampler import (
+        sampler_frames_pallas,
+        tile_sparse_pattern,
+    )
+
+    rng = np.random.default_rng(11)
+    # gru_a=128 -> wh [128, 384] is tile-divisible; gru_b=16 as upstream.
+    path = _foreign_h5(tmp_path, rng, gru_a=128, gru_b=16, cond=16, embed=8)
+    params, model = import_lpcnet_h5(path)
+    assert "fc_out1_b" in params and np.any(params["fc_out1_b"])
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+
+    if sparse:
+        keep = np.random.default_rng(12).random((8, 3)) < 0.5
+        keep[0, :] = True
+        mask = np.repeat(np.repeat(keep.astype(np.float32), 16, 0), 128, 1)
+        pattern, kept = tile_sparse_pattern(mask)
+        assert pattern is not None and kept < 1.0
+        params = dict(params, gru_a_mask=jnp.asarray(mask))
+    else:
+        pattern = None
+
+    B, T, F = 1, 2, 16
+    cond = jnp.asarray(rng.normal(size=(B, T, 16)) * 0.3, jnp.float32)
+    lpc = jnp.asarray(rng.normal(size=(B, T, 16)) * 0.05, jnp.float32)
+    temp = -jnp.ones((B, T, 1), jnp.float32)  # greedy
+    carry0 = (jnp.zeros((B, 128)), jnp.zeros((B, 16)), jnp.zeros((B, 16)),
+              jnp.full((B,), 128, jnp.int32))
+
+    def frame_body(carry, frame_in):
+        cond_t, lpc_t, temp_t = frame_in
+
+        def step(c, _):
+            c, (sample, _, _) = model.sample_step(
+                params, c, cond_t, lpc_t,
+                jnp.zeros((B, 256), jnp.float32), temp_t)
+            return c, sample
+
+        carry, samples = jax.lax.scan(step, carry, jnp.arange(F))
+        return carry, samples
+
+    want_carry, want = jax.lax.scan(
+        frame_body, carry0,
+        (jnp.moveaxis(cond, 1, 0), jnp.moveaxis(lpc, 1, 0),
+         jnp.moveaxis(temp, 1, 0)))
+    want = np.asarray(jnp.moveaxis(want.reshape(T * F, B), 0, 1))
+
+    got_carry, got = sampler_frames_pallas(
+        model, params, carry0, cond, lpc, temp,
+        seeds=jnp.arange(T, dtype=jnp.int32), frame_size=F,
+        stochastic=False, weight_dtype=jnp.float32, sparse_pattern=pattern)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_carry[3]),
+                                  np.asarray(want_carry[3]))
+
+
+def test_bunched_inner_bias_pallas_matches_scan():
+    """Defensive coverage: inner dual-FC biases on bunched heads (head 0
+    and sub-heads) flow through the bunched kernel identically to scan."""
+    from dss_tpu.ops.pallas.sampler import sampler_frames_bunched_pallas
+    from dss_tpu.vocoder.net import FRAME_SIZE
+
+    rng = np.random.default_rng(13)
+    S = 2
+    model = LPCNetModel(bunch=S)
+    params = model.init(jax.random.PRNGKey(0))
+    params = dict(
+        params,
+        fc_out1_b=jnp.asarray(rng.normal(size=256) * 0.3, jnp.float32),
+        fc_out2_b=jnp.asarray(rng.normal(size=256) * 0.3, jnp.float32),
+        fc_out1_b_b1=jnp.asarray(rng.normal(size=256) * 0.3, jnp.float32),
+        fc_out2_b_b1=jnp.asarray(rng.normal(size=256) * 0.3, jnp.float32),
+    )
+
+    B, T = 1, 2
+    cond = jnp.asarray(rng.normal(size=(B, T, 128)) * 0.1, jnp.float32)
+    lpc = jnp.asarray(rng.normal(size=(B, T, 16)) * 0.01, jnp.float32)
+    temp = jnp.full((B, T, 1), -1.0, jnp.float32)
+    carry = (jnp.zeros((B, 384)), jnp.zeros((B, 32)), jnp.zeros((B, 16)),
+             jnp.full((B, S), 128, jnp.int32))
+
+    gum = jnp.zeros((B, S, 256))
+    outs = []
+    c = carry
+    for t in range(T):
+        def step(cc, _):
+            cc, (smp, _) = model.bunch_step(params, cc, cond[:, t],
+                                            lpc[:, t], gum, temp[:, t])
+            return cc, smp
+
+        c, smp = jax.lax.scan(step, c, jnp.arange(FRAME_SIZE // S))
+        outs.append(np.asarray(smp).transpose(1, 0, 2).reshape(B, -1))
+    ref = np.concatenate(outs, axis=1)
+
+    _, got = sampler_frames_bunched_pallas(
+        model, params, carry, cond, lpc, temp,
+        seeds=jnp.arange(T, dtype=jnp.int32), frame_size=FRAME_SIZE,
+        stochastic=False, weight_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
 
 
 def test_foreign_reexport_roundtrip(tmp_path):

@@ -42,6 +42,10 @@ def main() -> None:
     parser.add_argument("--ref-pcm", default=None,
                         help="Reference rendering: raw int16 @ 16 kHz "
                              "(lpcnet_demo -synthesis output) or a .wav")
+    parser.add_argument("--rtf", action="store_true",
+                        help="Time the synthesis (after a warm-up compile) "
+                             "and report the realtime factor — wall clock "
+                             "including host transfer, hard-synced")
     args = parser.parse_args()
 
     from dss_tpu.vocoder.lpcnet import LPCNet, LPCFeatureFile
@@ -59,7 +63,45 @@ def main() -> None:
     feats = np.stack(list(LPCFeatureFile(args.features)))
     print(f"features: {feats.shape[0]} frames "
           f"({feats.shape[0] * 0.01:.2f} s)")
-    pcm = voc.synthesize_frames(feats)
+    if args.rtf:
+        import time
+
+        backend = getattr(voc, "use_pallas", None)
+        voc.warm(feats.shape[0])  # compile + transfer-warm, hard-synced
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pcm = voc.synthesize_frames(feats)  # hard sync inside
+            walls.append(time.perf_counter() - t0)
+        wall = min(walls)
+        audio_s = feats.shape[0] * 0.01
+        print(f"rtf: {audio_s / wall:.1f}x realtime wall "
+              f"({audio_s:.2f} s audio in {wall * 1e3:.1f} ms incl. one "
+              f"host round trip, pallas={backend})")
+        # Device-time estimate: marginal cost of chained state-dependent
+        # calls behind one sync (amortizes the per-call host round trip —
+        # ~30 ms on a tunneled chip; see bench.py for the methodology).
+        if backend:
+            from dss_tpu.vocoder.net import net_synthesize_frames
+            import jax.numpy as jnp
+
+            fx = jnp.asarray(feats, jnp.float32)[None]
+            chain, best = 4, 0.0
+            st = voc._state
+            for _ in range(3):  # min-time over reps (tunnel stalls happen)
+                t0 = time.perf_counter()
+                for _ in range(chain):
+                    pcm_d, st = net_synthesize_frames(
+                        voc._model, voc._params, st, fx, use_pallas=True,
+                        sparse_pattern=voc._sparse)
+                np.asarray(pcm_d)
+                t_chain = time.perf_counter() - t0
+                best = max(best,
+                           audio_s * (chain - 1) / max(t_chain - wall, 1e-9))
+            print(f"rtf: {best:.1f}x realtime device "
+                  f"(chained-call estimate, {chain} calls, best of 3)")
+    else:
+        pcm = voc.synthesize_frames(feats)
     write_wav(args.out, pcm.astype(np.int16))
     print(f"ours: {args.out} rms={np.sqrt(np.mean(pcm.astype(float)**2)):.1f} "
           f"peak={np.abs(pcm).max()}")
