@@ -250,6 +250,10 @@ class Neuroprosthesis(ez.System):
                 ))
 
         dest = self.SETTINGS.destination_dir
+        from dss_tpu.runtime.units import SoXOutputSettings
+
+        self.LOUDSPEAKER.apply_settings(SoXOutputSettings(
+            budget_path=os.path.join(dest, "latency_budget.json")))
         self.RAW_LOGGER.apply_settings(LoggerSettings(
             filename=os.path.join(dest, "log.raw.f64"), overwrite=True))
         self.HGA_LOGGER.apply_settings(LoggerSettings(

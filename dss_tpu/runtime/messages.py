@@ -9,7 +9,7 @@ cumulative frame counter for latency/alignment bookkeeping.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -32,3 +32,10 @@ class ClosedLoopMessage(TimeSeriesMessage):
 
     received_at: Optional[float] = None
     previous_frames: Optional[float] = None
+    # Per-stage wall-clock stamps appended as the message flows through the
+    # graph: ((stage_name, time.time()), ...).  Together with received_at
+    # they decompose the end-to-end ingest->audio latency into a per-stage
+    # budget (aggregated by DelayedStdoutForSoX at shutdown).  Stage names
+    # ending in "_device_done" mark intervals that contain exactly one
+    # device round trip (used to attribute tunnel-RPC share).
+    stamps: Tuple[Tuple[str, float], ...] = ()

@@ -50,6 +50,15 @@ BCI2000_HEADER = struct.Struct("=BBB HH")
 BCI2000_TOPIC = struct.Struct("=BBB").pack(4, 1, 2)
 
 
+def _with_stamps(msg, extra, **kw):
+    """``replace(msg, **kw)`` plus appended latency stamps (closed-loop
+    messages only; see ClosedLoopMessage.stamps).  ``extra`` is an iterable
+    of (stage_name, wall_time) pairs."""
+    if isinstance(msg, ClosedLoopMessage):
+        kw["stamps"] = getattr(msg, "stamps", ()) + tuple(extra)
+    return replace(msg, **kw)
+
+
 def interpret_bci2000_packet(data: bytes) -> np.ndarray:
     """GenericSignal packet -> float64 [samples, channels] array.
 
@@ -384,13 +393,16 @@ class FilterSpeechSegments(Unit):
         # compile a convert_element_type program on the first live packet.
         x = jnp.asarray(np.asarray(data, np.float32)[None])
         labels, self._state = self._infer(self._params, x, self._state)
-        return np.asarray(labels).ravel()
+        out = np.asarray(labels).ravel()
+        self._t_device_done = time.time()
+        return out
 
     @subscriber(INPUT)
     @publisher(OUTPUT)
     async def process(self, msg: ClosedLoopMessage) -> AsyncGenerator:
         import asyncio
 
+        t_dispatch = time.time()
         # Device work off the event loop (see HighGammaActivity.process).
         predictions = await asyncio.get_running_loop().run_in_executor(
             self._executor, self._vad_labels, msg.data
@@ -408,8 +420,12 @@ class FilterSpeechSegments(Unit):
                 self._frame_counter - len(segment)
                 - (len(msg.data) - int(np.count_nonzero(predictions)))
             )
-            yield self.OUTPUT, replace(
-                msg, data=segment, fs=100, previous_frames=previous_frames
+            yield self.OUTPUT, _with_stamps(
+                msg,
+                (("vad_dispatch", t_dispatch),
+                 ("vad_device_done", self._t_device_done),
+                 ("seg_close", time.time())),
+                data=segment, fs=100, previous_frames=previous_frames,
             )
 
 
@@ -519,6 +535,7 @@ class FusedFrontendVad(Unit):
             jnp.asarray(np.asarray(data, np.float32)),
         )
         packed = np.asarray(packed)  # ONE device->host read per packet
+        self._t_device_done = time.time()
         return packed[:, :-1].astype(np.float64), \
             packed[:, -1].astype(np.int32)
 
@@ -528,6 +545,7 @@ class FusedFrontendVad(Unit):
     async def process(self, msg: ClosedLoopMessage) -> AsyncGenerator:
         import asyncio
 
+        t_dispatch = time.time()
         # Device work off the event loop (see HighGammaActivity.process).
         feats, labels = await asyncio.get_running_loop().run_in_executor(
             self._executor, self._step, msg.data
@@ -552,8 +570,12 @@ class FusedFrontendVad(Unit):
                 self._frame_counter - len(segment)
                 - (len(feats) - int(np.count_nonzero(predictions)))
             )
-            yield self.OUTPUT, replace(
-                msg, data=segment, fs=100, previous_frames=previous_frames
+            yield self.OUTPUT, _with_stamps(
+                msg,
+                (("fe_dispatch", t_dispatch),
+                 ("fe_device_done", self._t_device_done),
+                 ("seg_close", time.time())),
+                data=segment, fs=100, previous_frames=previous_frames,
             )
 
 
@@ -646,6 +668,8 @@ class RecurrentNeuralDecodingModel(Unit):
         mask = np.zeros((1, Tp), np.float32)
         mask[0, :T] = 1.0
 
+        t_dispatch = time.time()
+
         # Off the event loop: a previously unseen segment-length bucket
         # compiles here (tens of seconds on a tunneled device) and must not
         # freeze ingest. Single worker keeps segments ordered.
@@ -657,7 +681,11 @@ class RecurrentNeuralDecodingModel(Unit):
         predictions = await asyncio.get_running_loop().run_in_executor(
             self._executor, run
         )
-        yield self.OUTPUT, replace(msg, data=predictions, fs=100)
+        yield self.OUTPUT, _with_stamps(
+            msg,
+            (("dec_dispatch", t_dispatch), ("dec_device_done", time.time())),
+            data=predictions, fs=100,
+        )
 # endregion
 
 
@@ -720,13 +748,18 @@ class DelayedLPCNetVocoder(Unit):
         if Tp != T:
             pad = np.repeat(features[-1:], Tp - T, axis=0)
             features = np.concatenate([features, pad], axis=0)
+        t_dispatch = time.time()
         # Off the event loop: first use of a new frame-count bucket compiles
         # (slow on a tunneled device) and must not freeze packet ingest.
         acoustic = await asyncio.get_running_loop().run_in_executor(
             self._executor,
             lambda: self._lpcnet.synthesize_frames(features)[: T * 160],
         )
-        yield self.OUTPUT, replace(msg, data=acoustic, fs=16000)
+        yield self.OUTPUT, _with_stamps(
+            msg,
+            (("voc_dispatch", t_dispatch), ("voc_device_done", time.time())),
+            data=acoustic, fs=16000,
+        )
 # endregion
 
 
@@ -793,10 +826,7 @@ class FusedDecoderVocoder(Unit):
                                else LPCNetModel())
             if self._voc_params is None:
                 self._voc_params = self._voc_model.init(jax.random.PRNGKey(0))
-            from ..vocoder.lpcnet import params_require_scan
-
-            use_pallas = (jax.default_backend() != "cpu"
-                          and not params_require_scan(self._voc_params))
+            use_pallas = jax.default_backend() != "cpu"
             sparse = _sparse_pattern_of(self._voc_params, use_pallas)
             self._voc_state = net_vocoder_init(self._voc_model, batch=1)
             decoder, voc_model = self._model, self._voc_model
@@ -907,6 +937,7 @@ class FusedDecoderVocoder(Unit):
             jnp.asarray(x), jnp.asarray(mask),
         )
         packed = np.asarray(packed)  # ONE device->host read per word
+        self._t_device_done = time.time()
         nb_out = self._model.nb_outputs
         lpc = packed[:Tp * nb_out].reshape(Tp, nb_out)[:T]
         if self._lpcnet is not None:  # dsp backend: vocode on the host
@@ -927,41 +958,72 @@ class FusedDecoderVocoder(Unit):
         import asyncio
 
         data = np.asarray(msg.data, np.float32)
+        t_dispatch = time.time()
         # Off the event loop: an un-prewarmed segment-length bucket compiles
         # here (tens of seconds on a tunneled device) and must not freeze
         # ingest. Single worker keeps segments ordered.
         lpc, audio = await asyncio.get_running_loop().run_in_executor(
             self._executor, self._decode_and_vocode, data
         )
+        stamps = (("dv_dispatch", t_dispatch),
+                  ("dv_device_done", self._t_device_done))
         yield self.LPC, replace(msg, data=lpc, fs=100)
-        yield self.OUTPUT, replace(msg, data=audio, fs=16000)
+        yield self.OUTPUT, _with_stamps(msg, stamps, data=audio, fs=16000)
 # endregion
 
 
 # region Output unit
+class SoXOutputSettings(Settings):
+    """Optional latency-budget reporting knobs for the audio sink.
+
+    ``rpc_floor_ms``: measured per-call host<->device round-trip floor
+    (decode_online measures it after warm-up); used to attribute the tunnel
+    share of each word's latency.  ``budget_path``: when set, the per-stage
+    p50/p95 budget table is also written there as JSON at shutdown."""
+
+    rpc_floor_ms: Optional[float] = None
+    budget_path: Optional[str] = None
+
+
 class DelayedStdoutForSoX(Unit):
     """Write int16 PCM to stdout for ``play -t raw -r 16000 ...``.
 
     Also the closed loop's latency probe: each segment's ``received_at``
     stamp (set at ZMQ ingest, propagated through every unit — reference
-    local/units.py:34,89) yields the end-to-end ingest->audio time."""
+    local/units.py:34,89) yields the end-to-end ingest->audio time, and the
+    per-stage ``stamps`` appended along the word path decompose it into a
+    latency budget (aggregated p50/p95 at shutdown; intervals ending in
+    ``*_device_done`` each contain exactly one device round trip, so
+    ``rpc_floor_ms`` gives the tunnel-RPC share)."""
 
+    SETTINGS: Optional[SoXOutputSettings]
     INPUT = InputStream(ClosedLoopMessage)
 
     def initialize(self) -> None:
         self.latencies_ms: List[float] = []
+        self._budget_rows: List[dict] = []
 
     @subscriber(INPUT)
     async def print(self, msg: ClosedLoopMessage) -> None:
         sys.stdout.buffer.write(np.asarray(msg.data).tobytes())
         sys.stdout.flush()
         if getattr(msg, "received_at", None) is not None:
-            latency_ms = (time.time() - msg.received_at) * 1000.0
+            now = time.time()
+            latency_ms = (now - msg.received_at) * 1000.0
             self.latencies_ms.append(latency_ms)
             logger.info(
                 f"segment audio out: {len(msg.data)} samples, "
                 f"ingest->audio {latency_ms:.1f} ms"
             )
+            stamps = getattr(msg, "stamps", ()) or ()
+            if stamps:
+                row = {}
+                prev_name, prev_t = "ingest", msg.received_at
+                for name, t in tuple(stamps) + (("audio_out", now),):
+                    row[f"{prev_name}->{name}"] = (t - prev_t) * 1000.0
+                    prev_name, prev_t = name, t
+                row["total"] = latency_ms
+                self._budget_rows.append(row)
 
     def shutdown(self) -> None:
         if self.latencies_ms:
@@ -970,4 +1032,67 @@ class DelayedStdoutForSoX(Unit):
                 f"ingest->audio latency over {len(self.latencies_ms)} "
                 f"segments: p50 {p50:.1f} ms"
             )
+        if not self._budget_rows:
+            return
+        # Aggregate the per-word stage intervals (keys in path order from
+        # the first row; wirings are homogeneous within a run).
+        keys = [k for k in self._budget_rows[0] if k != "total"]
+        table = {}
+        for k in keys + ["total"]:
+            vals = [r[k] for r in self._budget_rows if k in r]
+            table[k] = {"p50": float(np.percentile(vals, 50)),
+                        "p95": float(np.percentile(vals, 95)),
+                        "n": len(vals)}
+        lines = [f"latency budget over {len(self._budget_rows)} words "
+                 f"(ms, p50/p95):"]
+        for k in keys + ["total"]:
+            lines.append(f"  {k:<32s} {table[k]['p50']:7.1f} / "
+                         f"{table[k]['p95']:7.1f}")
+        s = self.SETTINGS
+        floor = getattr(s, "rpc_floor_ms", None) if s is not None else None
+        if floor is None:
+            floor = self._measure_rpc_floor()
+        n_rpc = sum(1 for k in keys if k.endswith("_device_done"))
+        report = {"n_words": len(self._budget_rows), "stages": table,
+                  "device_round_trips_per_word": n_rpc}
+        if floor is not None and n_rpc:
+            tunnel_ms = float(floor) * n_rpc
+            net = table["total"]["p50"] - tunnel_ms
+            report["rpc_floor_ms"] = float(floor)
+            report["tunnel_rpc_share_ms"] = tunnel_ms
+            report["total_p50_net_of_tunnel_ms"] = net
+            lines.append(
+                f"  tunnel share: {n_rpc} round trips x {floor:.1f} ms "
+                f"floor = {tunnel_ms:.1f} ms -> p50 net of tunnel "
+                f"{net:.1f} ms")
+        logger.info("\n".join(lines))
+        path = getattr(s, "budget_path", None) if s is not None else None
+        if path:
+            import json
+
+            with open(path, "w") as fd:
+                json.dump(report, fd, indent=1)
+
+    @staticmethod
+    def _measure_rpc_floor() -> Optional[float]:
+        """Median wall time of a trivial jitted call + hard host sync —
+        the per-round-trip floor every device interval pays (≈30 ms on the
+        tunneled axon backend, ~0.1 ms on a locally attached chip).
+        Measured at shutdown: the device is idle and readiness latency is
+        unaffected."""
+        try:
+            import jax
+
+            f = jax.jit(lambda x: x + 1.0)
+            x = jnp.zeros((8, 128), jnp.float32)
+            np.asarray(f(x))  # compile + transfer warm
+            times = []
+            for _ in range(10):
+                t0 = time.perf_counter()
+                np.asarray(f(x))
+                times.append(time.perf_counter() - t0)
+            return float(np.median(times) * 1000.0)
+        except Exception:  # pragma: no cover - advisory only
+            logger.exception("rpc-floor measurement failed")
+            return None
 # endregion
