@@ -107,6 +107,29 @@ def _attach_roofline(res: dict, flops: float, bytes_: float,
          f"{res['membw_util'] * 100:.2f}% HBM peak")
 
 
+_HIGH_SPREAD = []
+
+
+def _dispersion(name: str, values, extra: dict) -> None:
+    """Attach median/min/max dispersion for a repeated measurement and flag
+    >10% relative spread (tunnel-day noise vs real regressions — see
+    STATUS r2: an 88k-vs-115k hga_offline mystery and a retracted 96x b2
+    reading were both single-rep artifacts)."""
+    v = np.asarray(sorted(float(x) for x in values), np.float64)
+    if len(v) < 2:
+        return
+    med = float(np.median(v))
+    spread = float((v[-1] - v[0]) / max(abs(med), 1e-12))
+    extra[f"{name}_median"] = round(med, 3)
+    extra[f"{name}_min"] = round(float(v[0]), 3)
+    extra[f"{name}_max"] = round(float(v[-1]), 3)
+    extra[f"{name}_spread"] = round(spread, 3)
+    if spread > 0.10:
+        _HIGH_SPREAD.append(name)
+        _log(f"  DISPERSION {name}: spread {spread * 100:.0f}% "
+             f"(median {med:.1f}, min {v[0]:.1f}, max {v[-1]:.1f})")
+
+
 def _rpc_floor() -> float:
     """Per-call host round-trip floor, measured with a trivial device op.
     Subtracted from single-call timings to estimate on-device time when
@@ -210,7 +233,7 @@ def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
         _sync(pcm)
         t_single = min(t_single, time.perf_counter() - t0)
 
-    t_chain = np.inf
+    chain_times = []
     for _ in range(chain_reps):
         t0 = time.perf_counter()
         for _ in range(chain):
@@ -218,7 +241,8 @@ def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
                                             use_pallas=use_pallas,
                                             sparse_pattern=sparse_pattern)
         _sync(pcm)
-        t_chain = min(t_chain, time.perf_counter() - t0)
+        chain_times.append(time.perf_counter() - t0)
+    t_chain = min(chain_times)
 
     rtf_call = audio_seconds / t_single
     # Two device-time estimators (the tunnel makes each individually noisy):
@@ -230,7 +254,10 @@ def _bench_vocoder(n_frames: int, batch: int, use_pallas: bool = False,
     _log(f"vocoder[{backend}] b={batch}: {rtf_call:.2f}x per-call, "
          f"{rtf_device:.2f}x device (chain {est_chain:.1f} / floor "
          f"{est_floor:.1f})")
-    res = {"rtf_call": rtf_call, "rtf_device": rtf_device}
+    res = {"rtf_call": rtf_call, "rtf_device": rtf_device,
+           # Per-rep chain estimates for dispersion reporting.
+           "chain_rtfs": [audio_seconds * (chain - 1)
+                          / max(t - t_single, 1e-9) for t in chain_times]}
     density = float(np.asarray(params["gru_a_mask"]).mean())
     flops, bytes_ = _vocoder_flops_bytes(model, batch, n_frames, density)
     _attach_roofline(res, flops, bytes_, audio_seconds)
@@ -296,13 +323,18 @@ def _bench_latency(iters: int = 50) -> float:
         _sync(labels)
         times.append((time.perf_counter() - t0) * 1000)
     p50 = float(np.percentile(times, 50))
-    _log(f"latency: p50 {p50:.2f} ms")
-    return p50
+    p95 = float(np.percentile(times, 95))
+    _log(f"latency: p50 {p50:.2f} ms, p95 {p95:.2f} ms")
+    return {"p50": p50, "p95": p95,
+            "iqr": float(np.percentile(times, 75)
+                         - np.percentile(times, 25))}
 
 
-def _bench_hga_offline(seconds: int = 60, iters: int = 3) -> float:
+def _bench_hga_offline(seconds: int = 60, iters: int = 5) -> list:
     """Offline trial throughput (samples/sec) through the O(log T)
-    modal-basis parallel filter + fused framing — the batch/corpus path."""
+    modal-basis parallel filter + fused framing — the batch/corpus path.
+    Returns one samples/sec reading per rep (dispersion matters here: the
+    r2 88k-vs-115k run-to-run gap was tunnel variance on single reps)."""
     import jax
     import jax.numpy as jnp
 
@@ -314,15 +346,16 @@ def _bench_hga_offline(seconds: int = 60, iters: int = 3) -> float:
 
     _log("hga-offline: compiling...")
     ex.extract_features(data)  # compiles filter + framing
-    best = np.inf
+    reps = []
     for _ in range(iters):
         ex.reset()
         t0 = time.perf_counter()
         ex.extract_features(data)
-        best = min(best, time.perf_counter() - t0)
-    sps = data.shape[0] / best
-    _log(f"hga-offline: {sps:.0f} samples/s ({sps / 1000:.0f}x realtime)")
-    return sps
+        reps.append(data.shape[0] / (time.perf_counter() - t0))
+    sps = max(reps)
+    _log(f"hga-offline: {sps:.0f} samples/s best of {iters} "
+         f"({sps / 1000:.0f}x realtime; median {np.median(reps):.0f})")
+    return reps
 
 
 def _bench_segment_path(frames: int = 300) -> dict:
@@ -381,29 +414,36 @@ def _bench_segment_path(frames: int = 300) -> dict:
     _sync(lpc)
     _sync(pcm)
 
-    best = np.inf
-    for _ in range(3):
+    import os as _os
+
+    sep_reps = []
+    for _ in range(5):
         t0 = time.perf_counter()
         lpc = decode(segment)
         _sync(lpc)  # the separate chain reads features back between units
         pcm, st = net_synthesize_frames(voc, voc_params, st, lpc,
                                         use_pallas=True, sparse_pattern=sparse)
         _sync(pcm)
-        best = min(best, time.perf_counter() - t0)
-    ms_sep = best * 1000
+        sep_reps.append((time.perf_counter() - t0) * 1000)
+    ms_sep = min(sep_reps)
     _log(f"segment-path[separate]: {frames} frames -> audio in {ms_sep:.1f} ms")
 
     packed, st2 = fused(state, segment)
     _sync(packed)
-    best = np.inf
-    for _ in range(3):
+    fused_reps = []
+    for _ in range(5):
         t0 = time.perf_counter()
         packed, st2 = fused(st2, segment)
         _sync(packed)  # ONE packed read, like the online fused unit
-        best = min(best, time.perf_counter() - t0)
-    ms_fused = best * 1000
+        fused_reps.append((time.perf_counter() - t0) * 1000)
+    ms_fused = min(fused_reps)
     _log(f"segment-path[fused]: {frames} frames -> audio in {ms_fused:.1f} ms")
-    out = {"separate_ms": ms_sep, "fused_ms": ms_fused}
+    out = {"separate_ms": ms_sep, "fused_ms": ms_fused,
+           "separate_reps": sep_reps, "fused_reps": fused_reps,
+           # Which checkpoint produced these numbers (random-init numbers
+           # are not comparable to shipped-weights runs).
+           "vocoder_weights": _os.path.basename(shipped) if shipped
+           else "random-init"}
 
     # Latency-optimal config: the largest shipped bunched checkpoint (what
     # the closed loop runs when configured for minimum word latency).
@@ -429,13 +469,15 @@ def _bench_segment_path(frames: int = 300) -> dict:
 
         packed, st3 = fused_b(bstate, segment)
         _sync(packed)
-        best = np.inf
-        for _ in range(3):
+        breps = []
+        for _ in range(5):
             t0 = time.perf_counter()
             packed, st3 = fused_b(st3, segment)
             _sync(packed)
-            best = min(best, time.perf_counter() - t0)
-        out["fused_bunched_ms"] = best * 1000
+            breps.append((time.perf_counter() - t0) * 1000)
+        out["fused_bunched_ms"] = min(breps)
+        out["fused_bunched_reps"] = breps
+        out["bunched_weights"] = _os.path.basename(bshipped)
         _log(f"segment-path[fused, bunched]: {frames} frames -> audio in "
              f"{out['fused_bunched_ms']:.1f} ms")
     return out
@@ -577,6 +619,9 @@ def _set_headline(r: dict) -> None:
             _PARTIAL["extra"]["mfu_vocoder_headline"] = round(r["mfu"], 5)
             _PARTIAL["extra"]["membw_util_vocoder_headline"] = \
                 round(r["membw_util"], 5)
+        if "chain_rtfs" in r:
+            _dispersion("vocoder_rtf_1stream_device", r["chain_rtfs"],
+                        _PARTIAL["extra"])
 
 
 def main() -> None:
@@ -638,6 +683,29 @@ def main() -> None:
                                     weights=bsw)
                 if pal64 is None or a2["rtf_device"] > pal64["rtf_device"]:
                     pal64 = a2
+                # Serving-capacity probe with the SAME shipped checkpoint:
+                # how many concurrent real-time voices one chip carries.
+                # (The r2 microbench said 256 @ 23.8x with random masks;
+                # this puts the claim in the reproducible artifact.)
+                for nstream in (128, 256):
+                    cap = _bench_vocoder(n_frames=25, batch=nstream,
+                                         use_pallas=True, weights=bsw,
+                                         chain=12, chain_reps=3)
+                    key = f"vocoder_rtf_{nstream}stream"
+                    _PARTIAL["extra"][f"{key}_aggregate_device"] = \
+                        round(cap["rtf_device"], 3)
+                    _PARTIAL["extra"][f"{key}_per_stream_device"] = \
+                        round(cap["rtf_device"] / nstream, 3)
+                    if "mfu" in cap:
+                        _PARTIAL["extra"][f"mfu_vocoder_{nstream}stream"] = \
+                            round(cap["mfu"], 5)
+                        _PARTIAL["extra"][
+                            f"membw_util_vocoder_{nstream}stream"] = \
+                            round(cap["membw_util"], 5)
+                    _dispersion(f"{key}_aggregate_device", cap["chain_rtfs"],
+                                _PARTIAL["extra"])
+                _PARTIAL["extra"]["capacity_weights"] = \
+                    __import__("os").path.basename(bsw)
                 break  # largest shipped S is the fastest; one is enough
         except Exception as e:
             _log(f"bunched aggregate bench unavailable: {e}")
@@ -657,8 +725,10 @@ def main() -> None:
             round(best64["membw_util"], 5)
 
     _PARTIAL["extra"]["hga_frames_per_sec"] = round(_bench_hga(), 1)
-    sps = _bench_hga_offline()
+    sps_reps = _bench_hga_offline()
+    sps = max(sps_reps)
     _PARTIAL["extra"]["hga_offline_samples_per_sec"] = round(sps, 1)
+    _dispersion("hga_offline_samples_per_sec", sps_reps, _PARTIAL["extra"])
     peaks = _peaks()
     if peaks:
         # Front-end roofline (wall-clock based, so conservative): per
@@ -669,7 +739,10 @@ def main() -> None:
             round(sps * ch * 147 / 1e9, 2)
         _PARTIAL["extra"]["frontend_membw_util"] = \
             round(sps * ch * 16 / peaks[1], 5)
-    _PARTIAL["extra"]["packet_to_vad_p50_ms"] = round(_bench_latency(), 3)
+    lat = _bench_latency()
+    _PARTIAL["extra"]["packet_to_vad_p50_ms"] = round(lat["p50"], 3)
+    _PARTIAL["extra"]["packet_to_vad_p95_ms"] = round(lat["p95"], 3)
+    _PARTIAL["extra"]["packet_to_vad_iqr_ms"] = round(lat["iqr"], 3)
     try:
         tr = _bench_train_step()
         _PARTIAL["extra"]["decoder_train_step_ms"] = round(tr["step_ms"], 2)
@@ -684,11 +757,20 @@ def main() -> None:
         round(seg["fused_ms"], 3)
     _PARTIAL["extra"]["segment_300frames_separate_chain_ms"] = \
         round(seg["separate_ms"], 3)
+    _PARTIAL["extra"]["segment_vocoder_weights"] = seg["vocoder_weights"]
+    _dispersion("segment_300frames_to_audio_ms", seg["fused_reps"],
+                _PARTIAL["extra"])
     if "fused_bunched_ms" in seg:
         _PARTIAL["extra"]["segment_300frames_to_audio_bunched_ms"] = \
             round(seg["fused_bunched_ms"], 3)
+        _PARTIAL["extra"]["segment_bunched_weights"] = seg["bunched_weights"]
+        _dispersion("segment_300frames_to_audio_bunched_ms",
+                    seg["fused_bunched_reps"], _PARTIAL["extra"])
     _PARTIAL["extra"]["scaleup_8x256ch_frames_per_sec"] = \
         round(_bench_scaleup(), 1)
+    if _HIGH_SPREAD:
+        _PARTIAL["extra"]["high_spread_metrics"] = sorted(set(_HIGH_SPREAD))
+        _log(f"metrics with >10% rep spread: {sorted(set(_HIGH_SPREAD))}")
 
     _emit()
 
