@@ -5,6 +5,7 @@ from .shard import (
     sharded_decoder_train_step,
     sharded_vad_train_step,
     sharded_vocoder_train_step,
+    sharded_fused_word_path,
     batched_vocoder_sharding,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "sharded_decoder_train_step",
     "sharded_vad_train_step",
     "sharded_vocoder_train_step",
+    "sharded_fused_word_path",
     "batched_vocoder_sharding",
 ]

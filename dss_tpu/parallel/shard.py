@@ -112,6 +112,50 @@ def batched_vocoder_sharding(mesh: Mesh, state, features):
     return state, features
 
 
+def sharded_fused_word_path(mesh: Mesh, segments, masks, decoder,
+                            dec_params, voc_model, voc_params, voc_state):
+    """One SPMD execution of the EXACT online word program — bidirectional
+    decode + repeat-pad masking + autoregressive vocoder synthesis fused in
+    a single jitted call (runtime/units.py FusedDecoderVocoder.segment_
+    program) — with the word batch and vocoder stream state sharded over
+    the mesh "data" axis.
+
+    This is the serving word path the closed loop runs, scaled across
+    chips: N completed segments (one per stream) decode and vocode in one
+    program.  Returns (lpc [N, T, 20], pcm [N, T*160]).
+    """
+    import jax.numpy as jnp
+
+    from ..vocoder.net import net_synthesize_frames
+
+    def program(dec_params, voc_params, voc_state, x, mask):
+        pred, _ = decoder.apply(dec_params, x, None, mask=mask)
+        # Same pad-tail handling as the online unit: hold the last valid
+        # frame over the padded positions (mask is 1s then 0s).
+        nxt = jnp.concatenate([mask[:, 1:], jnp.zeros_like(mask[:, :1])],
+                              axis=1)
+        last_ind = mask * (1.0 - nxt)
+        last_frame = jnp.einsum("bt,btf->bf", last_ind, pred)
+        feats = pred * mask[..., None] \
+            + last_frame[:, None, :] * (1.0 - mask[..., None])
+        pcm, voc_state = net_synthesize_frames(
+            voc_model, voc_params, voc_state, feats)
+        return pred, pcm, voc_state
+
+    def replicate(leaf):
+        return jax.device_put(np.asarray(leaf), NamedSharding(mesh, P()))
+
+    with mesh:
+        dec_params = jax.tree.map(replicate, dec_params)
+        voc_params = jax.tree.map(replicate, voc_params)
+        voc_state, xb = batched_vocoder_sharding(mesh, voc_state, segments)
+        mb = shard_batch(mesh, masks)
+        lpc, pcm, _ = jax.jit(program)(dec_params, voc_params, voc_state,
+                                       xb, mb)
+        lpc, pcm = np.asarray(lpc), np.asarray(pcm)
+    return lpc, pcm
+
+
 def sharded_vocoder_train_step(mesh: Mesh, trainer, params, opt_state,
                                features, signal, rng):
     """One data-parallel vocoder training step on the mesh.
