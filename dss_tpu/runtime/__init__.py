@@ -10,6 +10,7 @@ from .graph import (
     subscriber,
     publisher,
     main_loop,
+    coalescing,
     run_system,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
     "subscriber",
     "publisher",
     "main_loop",
+    "coalescing",
     "run_system",
 ]

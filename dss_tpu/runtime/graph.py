@@ -127,6 +127,27 @@ def main_loop(fn):
     return fn
 
 
+def coalescing(max_batch: int):
+    """Mark a subscriber as batch-capable: when messages are waiting, the
+    runner drains up to ``max_batch`` immediately-available messages and
+    calls the handler ONCE with the list (always a list, even for one).
+
+    This is the latency-bounding primitive for consumers whose per-call
+    cost is dominated by a fixed dispatch overhead (a tunneled device
+    round trip can exceed the packet period, at which point a one-at-a-
+    time consumer builds an O(queue bound) backlog: measured 481 ms p50
+    ingest->dispatch wait at a 47 ms round trip on 40 ms packets).  A
+    coalescing consumer amortizes that fixed cost over the backlog and
+    keeps queue wait at ~one in-flight call regardless of round-trip
+    jitter."""
+
+    def deco(fn):
+        fn._dss_coalesce = int(max_batch)
+        return fn
+
+    return deco
+
+
 class Unit:
     """Base class for graph nodes.
 
@@ -261,6 +282,8 @@ def _bind(unit: Unit, port_ref) -> BoundStream:
 async def _run_subscriber(unit: Unit, fn, queue: asyncio.Queue,
                           router: _Router) -> None:
     peak = 0
+    coalesce = getattr(fn, "_dss_coalesce", 0)
+    stop_after = False
     while True:
         depth = queue.qsize()
         if depth > peak:
@@ -273,6 +296,20 @@ async def _run_subscriber(unit: Unit, fn, queue: asyncio.Queue,
         if message is _SHUTDOWN:
             queue.task_done()
             break
+        extra = 0
+        if coalesce > 1:
+            batch = [message]
+            while len(batch) < coalesce:
+                try:
+                    nxt = queue.get_nowait()
+                except asyncio.QueueEmpty:
+                    break
+                extra += 1
+                if nxt is _SHUTDOWN:
+                    stop_after = True
+                    break
+                batch.append(nxt)
+            message = batch
         try:
             result = fn(message)
             if inspect.isasyncgen(result):
@@ -294,6 +331,10 @@ async def _run_subscriber(unit: Unit, fn, queue: asyncio.Queue,
             )
         finally:
             queue.task_done()
+            for _ in range(extra):
+                queue.task_done()
+        if stop_after:
+            break
 
 
 class _Shutdown:

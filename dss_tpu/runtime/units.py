@@ -39,7 +39,7 @@ from ..ops.hga import HighGammaExtractor
 from ..ops.ringbuffer import SpeechSegmentHistory, VoiceActivityDetectionSmoothing
 from ..utils.audio import write_wav
 from .graph import InputStream, OutputStream, Settings, Unit, \
-    publisher, subscriber
+    coalescing, publisher, subscriber
 from .messages import ClosedLoopMessage, TimeSeriesMessage
 
 logger = logging.getLogger("dss_tpu.runtime.units")
@@ -446,6 +446,9 @@ class FusedFrontendVadSettings(Settings):
     vad_architecture: Any = None
     vad_weights_path: Optional[Path] = None
     vad_parameters: Optional[dict] = None
+    # Backlog-drain batch sizes (in packets) pre-compiled in the background
+    # at startup; see ``process``.  () disables coalescing.
+    coalesce_packets: Tuple[int, ...] = (2, 4, 8)
 
 
 class FusedFrontendVad(Unit):
@@ -456,6 +459,18 @@ class FusedFrontendVad(Unit):
     host), but the per-packet critical path costs one device round trip
     instead of two.  Publishes the feature stream on FEATURES (for the
     log.hga tap) and completed speech segments on OUTPUT.
+
+    Backlog coalescing: when the per-packet device round trip exceeds the
+    packet period (a tunneled backend's ~30-50 ms RPC vs the 40 ms packet
+    budget), a one-packet-at-a-time consumer builds an O(queue-bound)
+    backlog — measured 481 ms p50 ingest->dispatch wait plus drop-old
+    packet shedding in exactly that regime.  The subscriber therefore
+    drains whatever packets are already queued (graph.coalescing) and
+    processes them in ONE device call (the filter scan, framer carry, and
+    VAD recurrence are streaming-equivalent over concatenation), bounding
+    queue wait near one in-flight round trip regardless of RPC jitter.
+    Batch shapes compile in the background at startup; un-warmed sizes
+    never compile at stream time (greedy largest-warmed-first split).
     """
 
     SETTINGS: FusedFrontendVadSettings
@@ -526,6 +541,34 @@ class FusedFrontendVad(Unit):
 
         self._executor = ThreadPoolExecutor(max_workers=1)
 
+        # Coalesced batch shapes compile in the background; until a size is
+        # in self._warmed the splitter never uses it (no stream-time
+        # compiles, pinned by tests/test_no_stream_compiles.py).
+        import threading
+
+        self._warm_lock = threading.Lock()
+        self._warmed = {1}
+        sizes = tuple(s.coalesce_packets or ())
+
+        def prewarm():
+            for n in sorted(sizes):
+                try:
+                    d = jnp.zeros((n * s.package_size, s.raw_channels),
+                                  jnp.float32)
+                    o = packet_path(
+                        extractor.init_state(),
+                        model.create_new_initial_state(batch_size=1), d)
+                    np.asarray(o[2])
+                    with self._warm_lock:
+                        self._warmed.add(n)
+                except Exception:  # pragma: no cover - warm is advisory
+                    logger.exception("frontend coalesce prewarm failed")
+                    return
+
+        if sizes:
+            threading.Thread(target=prewarm, daemon=True,
+                             name="frontend-coalesce-prewarm").start()
+
     def shutdown(self) -> None:
         self._executor.shutdown(wait=True)
 
@@ -542,41 +585,60 @@ class FusedFrontendVad(Unit):
     @subscriber(INPUT)
     @publisher(FEATURES)
     @publisher(OUTPUT)
-    async def process(self, msg: ClosedLoopMessage) -> AsyncGenerator:
+    @coalescing(8)
+    async def process(self, msgs) -> AsyncGenerator:
         import asyncio
 
-        t_dispatch = time.time()
-        # Device work off the event loop (see HighGammaActivity.process).
-        feats, labels = await asyncio.get_running_loop().run_in_executor(
-            self._executor, self._step, msg.data
-        )
-        if self._first:
-            k = self._extractor.warmup_frames(msg.data.shape[0])
-            feats = feats[k:]
-            labels = labels[k:]
-            self._first = False
+        # ``msgs`` is 1..8 queued packets (graph.coalescing).  Split into
+        # the largest background-warmed device-call sizes so a backlog
+        # drains in O(1) round trips without any stream-time compile.
+        i = 0
+        while i < len(msgs):
+            with self._warm_lock:
+                warmed = sorted(self._warmed, reverse=True)
+            take = next((n for n in warmed if n <= len(msgs) - i), 1)
+            chunk = msgs[i:i + take]
+            i += take
+            # Latency stamps ride the EARLIEST packet of the chunk: a
+            # segment closed by any packet in it is reported no faster
+            # than its oldest contributor (conservative under backlog).
+            msg = chunk[0]
+            data = (msg.data if take == 1
+                    else np.concatenate([m.data for m in chunk], axis=0))
 
-        yield self.FEATURES, replace(
-            msg, data=feats, fs=1 / self.SETTINGS.window_shift
-        )
+            t_dispatch = time.time()
+            # Device work off the event loop (see HighGammaActivity).
+            feats, labels = await asyncio.get_running_loop().run_in_executor(
+                self._executor, self._step, data
+            )
+            if self._first:
+                k = self._extractor.warmup_frames(data.shape[0])
+                feats = feats[k:]
+                labels = labels[k:]
+                self._first = False
 
-        data, predictions = self._smoothing.insert(
-            data=feats.astype(np.float32), speech_labels=labels
-        )
-        segments = self._history.insert(data=data, speech_labels=predictions)
-        self._frame_counter += len(feats)
-        for segment in segments:
-            previous_frames = (
-                self._frame_counter - len(segment)
-                - (len(feats) - int(np.count_nonzero(predictions)))
+            yield self.FEATURES, replace(
+                msg, data=feats, fs=1 / self.SETTINGS.window_shift
             )
-            yield self.OUTPUT, _with_stamps(
-                msg,
-                (("fe_dispatch", t_dispatch),
-                 ("fe_device_done", self._t_device_done),
-                 ("seg_close", time.time())),
-                data=segment, fs=100, previous_frames=previous_frames,
+
+            data, predictions = self._smoothing.insert(
+                data=feats.astype(np.float32), speech_labels=labels
             )
+            segments = self._history.insert(data=data,
+                                            speech_labels=predictions)
+            self._frame_counter += len(feats)
+            for segment in segments:
+                previous_frames = (
+                    self._frame_counter - len(segment)
+                    - (len(feats) - int(np.count_nonzero(predictions)))
+                )
+                yield self.OUTPUT, _with_stamps(
+                    msg,
+                    (("fe_dispatch", t_dispatch),
+                     ("fe_device_done", self._t_device_done),
+                     ("seg_close", time.time())),
+                    data=segment, fs=100, previous_frames=previous_frames,
+                )
 
 
 class RecurrentNeuralDecodingModelSettings(Settings):

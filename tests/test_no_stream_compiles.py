@@ -86,7 +86,11 @@ def test_packet_units_compile_nothing_per_packet(unit_cls, settings):
             vad_architecture=UnidirectionalVoiceActivityDetector,
             vad_parameters=dict(nb_electrodes=8, nb_hidden_units=16,
                                 nb_layer=2),
-            buffer_size=200, context_frames=5, **common))
+            buffer_size=200, context_frames=5,
+            # Coalesce batch shapes compile in a background thread BY
+            # DESIGN (off the packet critical path); disable them here so
+            # the compile log captures only per-packet compiles.
+            coalesce_packets=(), **common))
     unit.initialize()
 
     rng = np.random.default_rng(1)
@@ -133,3 +137,41 @@ def test_fused_and_separate_paths_agree():
         np.testing.assert_array_equal(f_labels, s_labels)
     for u in (fused, hga, vad):
         u.shutdown()
+
+
+def test_coalesced_frontend_matches_per_packet():
+    """Draining a packet backlog in one device call (the coalescing path)
+    must produce the identical feature/label stream as one-at-a-time
+    processing: the filter scan, framer carry, and VAD recurrence are
+    streaming-equivalent over concatenation."""
+    kw = dict(fs=1000, window_length=0.05, window_shift=0.01,
+              package_size=40, raw_channels=8, nb_features=8,
+              vad_architecture=UnidirectionalVoiceActivityDetector,
+              vad_parameters=dict(nb_electrodes=8, nb_hidden_units=16,
+                                  nb_layer=2),
+              buffer_size=200, context_frames=5)
+
+    one = FusedFrontendVad()
+    one.apply_settings(FusedFrontendVadSettings(coalesce_packets=(), **kw))
+    one.initialize()
+    batched = FusedFrontendVad()
+    batched.apply_settings(FusedFrontendVadSettings(
+        coalesce_packets=(2, 4), **kw))
+    batched.initialize()
+
+    rng = np.random.default_rng(7)
+    pkts = [rng.normal(size=(40, 8)) for _ in range(7)]
+
+    fa, la = zip(*(one._step(p) for p in pkts))
+    fa, la = np.concatenate(fa), np.concatenate(la)
+
+    fb, lb = [], []
+    for chunk in ([pkts[0]], pkts[1:3], pkts[3:7]):  # sizes 1, 2, 4
+        f, l = batched._step(np.concatenate(chunk, axis=0))
+        assert len(f) == 4 * len(chunk)  # 4 frames per 40 ms packet
+        fb.append(f)
+        lb.append(l)
+    np.testing.assert_allclose(np.concatenate(fb), fa, atol=1e-5)
+    np.testing.assert_array_equal(np.concatenate(lb), la)
+    one.shutdown()
+    batched.shutdown()

@@ -94,6 +94,48 @@ def test_graph_pipeline_and_fanout():
     assert system.TAP.items == [0, 1, 2, 3, 4]
 
 
+class _SlowBatchCollector(ez.Unit):
+    """Coalescing consumer slower than its producer: the first call stalls
+    so the source floods the queue; subsequent calls drain in batches."""
+
+    INPUT = ez.InputStream(TimeSeriesMessage)
+
+    def initialize(self):
+        self.batches = []
+
+    @ez.subscriber(INPUT)
+    @ez.coalescing(4)
+    async def collect(self, msgs):
+        assert isinstance(msgs, list)  # always a list, even for one
+        self.batches.append([int(m.data[0]) for m in msgs])
+        if len(self.batches) == 1:
+            await asyncio.sleep(0.05)  # let the source outrun us once
+
+
+class _CoalesceSystem(ez.System):
+    SOURCE = _NumberSource()
+    SINK = _SlowBatchCollector()
+
+    def configure(self):
+        self.SOURCE.apply_settings(_NumberSourceSettings(count=9))
+
+    def network(self):
+        return ((self.SOURCE.OUTPUT, self.SINK.INPUT),)
+
+
+def test_coalescing_subscriber_drains_backlog_in_batches():
+    """A coalescing subscriber receives every message exactly once, in
+    order, with backlogs delivered as multi-message batches (<= cap), and
+    the drain/join accounting stays exact (clean shutdown)."""
+    system = _CoalesceSystem()
+    ez.run_system(system)
+    flat = [i for b in system.SINK.batches for i in b]
+    assert flat == list(range(9))
+    assert all(1 <= len(b) <= 4 for b in system.SINK.batches)
+    # The sleep in the first call guarantees at least one real batch.
+    assert any(len(b) > 1 for b in system.SINK.batches)
+
+
 def test_binary_logger(tmp_path, rng):
     fn = tmp_path / "log.hga.f64"
     logger = BinaryLogger()
