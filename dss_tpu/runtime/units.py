@@ -921,9 +921,17 @@ class FusedDecoderVocoder(Unit):
                 )
                 # Features + audio packed into ONE f32 array: the host needs
                 # both per word, and each separate device->host read is a
-                # full round trip on tunneled backends.
-                packed = jnp.concatenate(
-                    [pred.reshape(-1), pcm.reshape(-1)])
+                # full round trip on tunneled backends.  The audio rides as
+                # int16 PAIRS bitcast into f32 lanes (it leaves the host as
+                # int16 anyway, and audio is ~90% of the payload — f32 PCM
+                # nearly doubled the word readback: Tp*720 vs Tp*400 bytes).
+                # Same clip->truncate conversion the host applied before,
+                # so output bytes are unchanged.
+                pcm16 = jnp.clip(pcm.reshape(-1) * 32767.0,
+                                 -32768, 32767).astype(jnp.int16)
+                pcm_bits = jax.lax.bitcast_convert_type(
+                    pcm16.reshape(-1, 2), jnp.float32)
+                packed = jnp.concatenate([pred.reshape(-1), pcm_bits])
                 return packed, voc_state
 
             self._program = segment_program
@@ -1009,8 +1017,7 @@ class FusedDecoderVocoder(Unit):
                 [lpc, np.repeat(lpc[-1:], Tp - T, axis=0)], axis=0)
             audio = self._lpcnet.synthesize_frames(feats)[: T * 160]
         else:
-            pcm = packed[Tp * nb_out:][: T * 160]
-            audio = np.clip(pcm * 32767.0, -32768, 32767).astype(np.int16)
+            audio = packed[Tp * nb_out:].view(np.int16)[: T * 160]
         return lpc, audio
 
     @subscriber(INPUT)
