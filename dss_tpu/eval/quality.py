@@ -256,27 +256,58 @@ def dtw_cepstral_distance(a: np.ndarray, b: np.ndarray) -> float:
     return float(acc[Ta, Tb] / (Ta + Tb))
 
 
+def keyword_id_report(originals: dict, resyntheses: dict) -> dict:
+    """Full classification report for keyword identification.
+
+    Each resynthesis (word -> waveform or list) is classified by minimum
+    DTW cepstral distance against every word's original(s).  Returns::
+
+        {"accuracy": float,
+         "confusion": {true_word: {predicted_word: count}},
+         "margins": [{"word", "predicted", "own_d", "best_other_word",
+                      "best_other_d", "margin"} ...]}
+
+    ``margin`` is ``best_other_d - own_d`` (positive = correctly and
+    confidently classified; near zero = one confusable pair away from an
+    error — 12/12 accuracy alone cannot distinguish the two)."""
+    ref = {w: v if isinstance(v, (list, tuple)) else [v]
+           for w, v in originals.items()}
+    total, correct = 0, 0
+    confusion = {w: {} for w in ref}
+    margins = []
+    for word, syns in resyntheses.items():
+        for syn in (syns if isinstance(syns, (list, tuple)) else [syns]):
+            dists = {cand: min(dtw_cepstral_distance(v, syn)
+                               for v in variants)
+                     for cand, variants in ref.items()}
+            best_word = min(dists, key=dists.get)
+            others = {c: d for c, d in dists.items() if c != word}
+            best_other = min(others, key=others.get) if others else None
+            total += 1
+            correct += int(best_word == word)
+            confusion[word][best_word] = \
+                confusion.get(word, {}).get(best_word, 0) + 1
+            row = {"word": word, "predicted": best_word,
+                   "own_d": round(dists.get(word, float("nan")), 4)}
+            if best_other is not None:
+                row["best_other_word"] = best_other
+                row["best_other_d"] = round(others[best_other], 4)
+                row["margin"] = round(others[best_other]
+                                      - dists[word], 4)
+            margins.append(row)
+    if total == 0:
+        raise ValueError("no resyntheses given")
+    return {"accuracy": correct / total, "confusion": confusion,
+            "margins": margins}
+
+
 def keyword_id_accuracy(originals: dict, resyntheses: dict) -> float:
     """Fraction of ``resyntheses`` (word -> waveform or list of waveforms)
     whose DTW cepstral distance is minimal to their own word's original.
 
     ``originals`` maps each word to one reference waveform (or a list —
     the minimum over variants is used)."""
-    ref = {w: v if isinstance(v, (list, tuple)) else [v]
-           for w, v in originals.items()}
-    total, correct = 0, 0
-    for word, syns in resyntheses.items():
-        for syn in (syns if isinstance(syns, (list, tuple)) else [syns]):
-            best_word, best_d = None, np.inf
-            for cand, variants in ref.items():
-                d = min(dtw_cepstral_distance(v, syn) for v in variants)
-                if d < best_d:
-                    best_word, best_d = cand, d
-            total += 1
-            correct += int(best_word == word)
-    if total == 0:
-        raise ValueError("no resyntheses given")
-    return correct / total
+    return keyword_id_report(originals, resyntheses)["accuracy"]
 
 
 def score_roundtrip(audio: np.ndarray, vocoder) -> QualityReport:

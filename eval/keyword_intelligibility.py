@@ -74,6 +74,12 @@ def main() -> None:
                          "Pallas on accelerators / scan on CPU; 'on' on a "
                          "TPU scores the exact kernel the online system "
                          "runs.")
+    ap.add_argument("--syn-dir", default=None,
+                    help="Score pre-rendered kw_<word>_<n>.wav files from "
+                         "this directory against the originals instead of "
+                         "round-tripping through a vocoder — e.g. a closed-"
+                         "loop run's reco wavs (tools/score_closed_loop.py "
+                         "lays them out) or an external vocoder's output.")
     args = ap.parse_args()
 
     if args.platform:
@@ -81,15 +87,23 @@ def main() -> None:
 
         jax.config.update("jax_platforms", args.platform)
 
-    from dss_tpu.eval.quality import keyword_id_accuracy, score, stoi
+    from dss_tpu.eval.quality import keyword_id_report, score, stoi
     from dss_tpu.vocoder.features import LPCFeatureEncoder
     from dss_tpu.vocoder.lpcnet import LPCNet
 
     words = collect_keywords(args.directory)
-    use_pallas = {"auto": None, "on": True, "off": False}[args.pallas]
-    vocoder = LPCNet(backend=args.backend, weights=args.weights,
-                     seed=args.seed, use_pallas=use_pallas,
-                     temperature_scale=args.temperature_scale)
+    if args.syn_dir:
+        vocoder = None
+        pre_rendered = collect_keywords(args.syn_dir)
+        missing = set(words) - set(pre_rendered)
+        if missing:
+            raise SystemExit(f"--syn-dir lacks words: {sorted(missing)}")
+    else:
+        pre_rendered = None
+        use_pallas = {"auto": None, "on": True, "off": False}[args.pallas]
+        vocoder = LPCNet(backend=args.backend, weights=args.weights,
+                         seed=args.seed, use_pallas=use_pallas,
+                         temperature_scale=args.temperature_scale)
 
     originals, resyntheses = {}, {}
     per_word = {}
@@ -98,12 +112,18 @@ def main() -> None:
         originals[word] = []
         resyntheses[word] = []
         wd, ws = [], []
-        for audio in variants:
-            enc = LPCFeatureEncoder()
-            feats = enc.compute_LPC_features(audio)
-            vocoder.reset_decoder()
-            syn = vocoder.synthesize_frames(feats)
-            n = len(feats) * 160
+        syn_variants = (pre_rendered[word] if pre_rendered is not None
+                        else variants)
+        for audio, rendered in zip(variants, syn_variants):
+            if vocoder is not None:
+                enc = LPCFeatureEncoder()
+                feats = enc.compute_LPC_features(audio)
+                vocoder.reset_decoder()
+                syn = vocoder.synthesize_frames(feats)
+                n = len(feats) * 160
+            else:
+                syn = rendered
+                n = min(len(audio), len(syn))
             orig = audio[:n]
             originals[word].append(orig)
             resyntheses[word].append(syn[:n])
@@ -121,15 +141,19 @@ def main() -> None:
         dists.extend(wd)
         stois.extend(ws)
 
-    acc = keyword_id_accuracy(originals, resyntheses)
+    report = keyword_id_report(originals, resyntheses)
+    acc = report["accuracy"]
     out = {
         "keyword_id_accuracy": round(acc, 4),
+        "confusion": report["confusion"],
+        "margins": report["margins"],
         "chance": round(1.0 / len(words), 4),
         "num_words": len(words),
         "num_utterances": int(sum(len(v) for v in words.values())),
         "cepstral_distance_db_mean": round(float(np.mean(dists)), 3),
         **({"stoi_mean": round(float(np.mean(stois)), 4)} if stois else {}),
-        "backend": args.backend,
+        "backend": args.backend if not args.syn_dir else "pre-rendered",
+        "syn_dir": args.syn_dir,
         "weights": args.weights,
         "temperature_scale": args.temperature_scale,
         "per_word": per_word,

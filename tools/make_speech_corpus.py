@@ -27,6 +27,7 @@ val_%02d.wav (held-out sentences).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 from pathlib import Path
 from typing import Dict, List, Sequence, Tuple
 
@@ -36,6 +37,41 @@ from scipy.signal import lfilter
 
 FS = 16000
 FRAME = 80  # 5 ms control frames
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeakerShift:
+    """Global speaker/production shifts applied on top of the phoneme
+    inventory — held-out evaluation material for intelligibility tests
+    (a vocoder gated only on same-generator draws could overfit to one
+    speaker's formant geometry; see eval/keyword_intelligibility.py).
+
+    ``formant``  vocal-tract length scale: multiplies every formant and
+                 frication band edge (0.9 ~ longer/male-er tract,
+                 1.1 ~ shorter/female-er).
+    ``f0``       pitch scale on the F0 contour.
+    ``rate``     speaking-rate scale on segment durations (>1 = slower).
+    ``noise``    production-noise scale: breathiness, aspiration,
+                 frication amplitude, and room-tone floor.
+
+    The identity shift reproduces the default generator bit-for-bit (no
+    extra rng draws on any path)."""
+
+    formant: float = 1.0
+    f0: float = 1.0
+    rate: float = 1.0
+    noise: float = 1.0
+
+
+IDENTITY = SpeakerShift()
+
+# Held-out evaluation speakers: substantial, plausible shifts in both
+# directions.  NOT used for training corpora — only for `--shifted-val`
+# keyword material scored by eval/keyword_intelligibility.py.
+SHIFTED_SPEAKERS: Dict[str, SpeakerShift] = {
+    "deep": SpeakerShift(formant=0.90, f0=0.80, rate=1.12, noise=0.8),
+    "bright": SpeakerShift(formant=1.10, f0=1.30, rate=0.90, noise=1.6),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -172,9 +208,11 @@ class _Tracks:
         self.nasal = np.zeros(n_frames)         # nasal murmur mix
 
 
-def plan_word(phones: Sequence[str], rng) -> Tuple[_Tracks, float]:
+def plan_word(phones: Sequence[str], rng,
+              spk: SpeakerShift = IDENTITY) -> Tuple[_Tracks, float]:
     """Lay out segments with coarticulated formant transitions."""
     durs = [_segment_duration(p, rng, final=(i == len(phones) - 1))
+            * spk.rate
             for i, p in enumerate(phones)]
     total = sum(durs)
     n = int(total * FS / FRAME) + 1
@@ -264,6 +302,15 @@ def plan_word(phones: Sequence[str], rng) -> Tuple[_Tracks, float]:
     for name in ("f1", "f2", "f3", "voiced", "amp", "tract_noise", "nasal"):
         v = getattr(tr, name)
         setattr(tr, name, np.convolve(v, kernel, mode="same"))
+
+    if spk.formant != 1.0:
+        # Vocal-tract length change: every resonance and frication band
+        # scales together (deterministic — no rng draws).
+        for name in ("f1", "f2", "f3", "noise_lo", "noise_hi"):
+            setattr(tr, name, getattr(tr, name) * spk.formant)
+    if spk.noise != 1.0:
+        tr.noise = tr.noise * spk.noise
+        tr.tract_noise = tr.tract_noise * spk.noise
     return tr, total
 
 
@@ -289,7 +336,8 @@ def _resonator_block(x: np.ndarray, freqs: np.ndarray, bw: float,
     return out, zi
 
 
-def render(tr: _Tracks, rng, f0_start: float, f0_end: float) -> np.ndarray:
+def render(tr: _Tracks, rng, f0_start: float, f0_end: float,
+           spk: SpeakerShift = IDENTITY) -> np.ndarray:
     n_frames = len(tr.amp)
     n = n_frames * FRAME
 
@@ -318,7 +366,7 @@ def render(tr: _Tracks, rng, f0_start: float, f0_end: float) -> np.ndarray:
     # Breathiness: pitch-synchronous aspiration in the open phase.
     breath = rng.normal(0, 1.0, n) * (0.5 + 0.5 * (np.cos(
         2 * np.pi * (phase % 1.0)) * -1 + 1) / 2)
-    voice_src += 0.012 * breath * voiced_g
+    voice_src += 0.012 * spk.noise * breath * voiced_g
 
     # Aspiration routed through the vocal tract (h, stop release).
     voice_src += np.repeat(tr.tract_noise, FRAME) * rng.normal(0, 0.6, n)
@@ -369,10 +417,11 @@ def render(tr: _Tracks, rng, f0_start: float, f0_end: float) -> np.ndarray:
     return y
 
 
-def synth_word(phones: Sequence[str], rng, f0: float = 120.0) -> np.ndarray:
-    tr, dur = plan_word(phones, rng)
-    return render(tr, rng, f0 * rng.uniform(1.05, 1.25),
-                  f0 * rng.uniform(0.75, 0.95))
+def synth_word(phones: Sequence[str], rng, f0: float = 120.0,
+               spk: SpeakerShift = IDENTITY) -> np.ndarray:
+    tr, dur = plan_word(phones, rng, spk)
+    return render(tr, rng, f0 * spk.f0 * rng.uniform(1.05, 1.25),
+                  f0 * spk.f0 * rng.uniform(0.75, 0.95), spk)
 
 
 def random_word(rng) -> List[str]:
@@ -421,6 +470,13 @@ def main() -> None:
                         help="Training-corpus length (split into ~4 s wavs).")
     parser.add_argument("--val-sentences", type=int, default=4)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--shifted-val", action="store_true",
+                        help="Also write speaker-shifted keyword wavs "
+                             "(SHIFTED_SPEAKERS presets) to val_shifted/ — "
+                             "held-out generator parameters for "
+                             "intelligibility evaluation.  Does not change "
+                             "the default train/val output for a given "
+                             "seed.")
     args = parser.parse_args()
 
     out = Path(args.out_dir)
@@ -454,6 +510,24 @@ def main() -> None:
             y = w / peak + val_rng.normal(0, 1e-3, len(w))
             pcm = (np.clip(y * 0.55, -1, 1) * 32767).astype(np.int16)
             wavfile.write(val_dir / f"kw_{word}_{v}.wav", FS, pcm)
+
+    if args.shifted_val:
+        # AFTER all default writes (val_rng draw order up to here is
+        # unchanged, so default output stays bit-identical per seed).
+        shifted_dir = out / "val_shifted"
+        shifted_dir.mkdir(parents=True, exist_ok=True)
+        for v, (spk_name, spk) in enumerate(sorted(SHIFTED_SPEAKERS.items())):
+            for word, phones in KEYWORDS.items():
+                w = synth_word(phones, val_rng, f0=110.0 + 25.0 * (v % 2),
+                               spk=spk)
+                peak = np.max(np.abs(w)) + 1e-9
+                y = w / peak + val_rng.normal(
+                    0, 1e-3 * spk.noise, len(w))
+                pcm = (np.clip(y * 0.55, -1, 1) * 32767).astype(np.int16)
+                wavfile.write(shifted_dir / f"kw_{word}_{v}.wav", FS, pcm)
+        print(f"wrote {len(SHIFTED_SPEAKERS) * len(KEYWORDS)} "
+              f"speaker-shifted keyword wavs to {shifted_dir} "
+              f"({', '.join(sorted(SHIFTED_SPEAKERS))})")
 
     print(f"wrote {n_utts} train utterances to {train_dir}; "
           f"{args.val_sentences} val sentences + {2 * len(KEYWORDS)} "
