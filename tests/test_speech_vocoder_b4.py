@@ -56,6 +56,8 @@ def test_roundtrip_quality_floor(corpus_dir):
     from dss_tpu.eval.quality import score_roundtrip
     from dss_tpu.vocoder import LPCNet
 
+    from dss_tpu.eval.quality import stoi
+
     _, audio = wavfile.read(corpus_dir / "val" / "val_00.wav")
     vocoder = LPCNet(backend="net", weights=str(WEIGHTS))
     report = score_roundtrip(audio[:16000], vocoder)
@@ -64,6 +66,18 @@ def test_roundtrip_quality_floor(corpus_dir):
     # ~19 dB.  The 6 dB floor fails the gate if quality halves (the old
     # 12 dB floor would have passed a 4x regression silently).
     assert report.cepstral_distance_db < 6.0
+
+    # Intelligibility floor on the sentence utterance (keywords are too
+    # short for STOI's 384 ms windows): ships measure 0.83-0.92; 0.70
+    # fails the gate well before speech becomes unintelligible while
+    # staying clear of run-to-run variance.
+    vocoder.reset_decoder()
+    from dss_tpu.vocoder.features import LPCFeatureEncoder
+
+    feats = LPCFeatureEncoder().compute_LPC_features(audio[:32000])
+    syn = vocoder.synthesize_frames(feats)
+    n = min(len(syn), 32000)
+    assert stoi(audio[:n], syn[:n]) >= 0.70
 
 
 def test_keyword_identification_above_chance(corpus_dir):
@@ -95,10 +109,3 @@ def test_keyword_identification_above_chance(corpus_dir):
     # floor demands >= 5/6 — one confusable pair at most.
     assert acc >= 0.75
 
-    # Intelligibility floor: shipped checkpoints measure STOI 0.83-0.92
-    # on fresh draws; 0.70 fails the gate well before speech becomes
-    # unintelligible while staying clear of run-to-run variance.
-    from dss_tpu.eval.quality import stoi
-
-    stois = [stoi(originals[w][0], resyntheses[w][0]) for w in originals]
-    assert float(np.mean(stois)) >= 0.70
