@@ -750,6 +750,16 @@ def main() -> None:
             round(tr["frames_per_sec"], 1)
         if "mfu" in tr:
             _PARTIAL["extra"]["mfu_decoder_train"] = round(tr["mfu"], 5)
+        # Throughput-tuned point: the trainer's bucketed batching
+        # (--batch_size + train/dataset.padded_batches) at a batch that
+        # fills the MXU rows.  batch 16 is the realistic per-day corpus
+        # scale; this shows the step scales when data allows.
+        tr64 = _bench_train_step(batch=64)
+        _PARTIAL["extra"]["decoder_train_frames_per_sec_b64"] = \
+            round(tr64["frames_per_sec"], 1)
+        if "mfu" in tr64:
+            _PARTIAL["extra"]["mfu_decoder_train_b64"] = \
+                round(tr64["mfu"], 5)
     except Exception as e:
         _log(f"train-step bench unavailable: {e}")
     seg = _bench_segment_path()
