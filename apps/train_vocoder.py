@@ -129,6 +129,12 @@ def main() -> None:
                         help="Resume from OUT_DIR/train_state.pkl (params "
                              "+ optimizer state + epoch counter), matching "
                              "the other trainers' resume contract.")
+    parser.add_argument("--platform", default=None,
+                        help="Force a JAX platform (e.g. 'cpu') — the "
+                             "same escape hatch the eval CLIs expose; "
+                             "needed because this environment's "
+                             "sitecustomize prepends a TPU plugin that "
+                             "JAX_PLATFORMS alone cannot override.")
     parser.add_argument("--init-weights", default=None,
                         help="Initialize params from a checkpoint .npz "
                              "(fresh optimizer state, epoch 0). The model "
@@ -138,6 +144,9 @@ def main() -> None:
                              "--freerun-after 0 polish of a trained "
                              "vocoder_best.npz).")
     args = parser.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     os.makedirs(args.out_dir, exist_ok=True)
     logging.basicConfig(

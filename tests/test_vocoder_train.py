@@ -263,7 +263,7 @@ def test_finite_gradients_still_update(rng):
                            np.asarray(params["gru_a_wx"]))
 
 
-def test_init_weights_inherits_pruned_mask(tmp_path, monkeypatch, caplog):
+def test_init_weights_inherits_pruned_mask(tmp_path):
     """--init-weights from an already-pruned checkpoint must keep the
     checkpoint's mask fixed instead of restarting the prune ramp from
     100% density: re-sparsifying at mid-ramp densities admits zeroed
@@ -271,14 +271,11 @@ def test_init_weights_inherits_pruned_mask(tmp_path, monkeypatch, caplog):
     not the mask's — mis-gated best-by-validation until the ramp caught
     up (observed live: a freerun fine-tune scored a new best at epoch 5
     but saved nothing because the schedule still reported 1.00)."""
-    import logging
+    import subprocess
     import sys
+    from pathlib import Path
 
     from scipy.io.wavfile import write as wavwrite
-
-    sys.path.insert(0, str(
-        __import__("pathlib").Path(__file__).resolve().parent.parent / "apps"))
-    import train_vocoder
 
     wav_dir = tmp_path / "wavs"
     wav_dir.mkdir()
@@ -286,11 +283,17 @@ def test_init_weights_inherits_pruned_mask(tmp_path, monkeypatch, caplog):
     audio = (rng.normal(size=12800) * 3000).astype(np.int16)
     wavwrite(wav_dir / "utt.wav", 16000, audio)
 
+    app = Path(__file__).resolve().parent.parent / "apps" / "train_vocoder.py"
+
     def run(out, args):
-        monkeypatch.setattr(sys, "argv", ["train_vocoder.py", str(wav_dir),
-                                          str(out), "--batch", "2",
-                                          "--chunk-frames", "4"] + args)
-        train_vocoder.main()
+        # Subprocess on purpose — see the sibling ramp test below.
+        r = subprocess.run(
+            [sys.executable, str(app), str(wav_dir), str(out),
+             "--batch", "2", "--chunk-frames", "4", "--platform", "cpu"]
+            + args,
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return (out / "training.log").read_text()
 
     # Stage 1: a short pruned run (2 epochs => the ramp completes).
     run(tmp_path / "a", ["--epochs", "2", "--density", "0.5"])
@@ -299,11 +302,10 @@ def test_init_weights_inherits_pruned_mask(tmp_path, monkeypatch, caplog):
 
     # Stage 2: fine-tune from it.  5 epochs puts prune_start at epoch 1,
     # which without inheritance would re-sparsify at ~0.9 density.
-    with caplog.at_level(logging.INFO):
-        run(tmp_path / "b", ["--epochs", "5", "--density", "0.5",
-                             "--init-weights",
-                             str(tmp_path / "a" / "vocoder.npz")])
-    assert "pruning disabled, mask inherited" in caplog.text
+    log_text = run(tmp_path / "b", ["--epochs", "5", "--density", "0.5",
+                                    "--init-weights",
+                                    str(tmp_path / "a" / "vocoder.npz")])
+    assert "pruning disabled, mask inherited" in log_text
     mask_out = np.load(tmp_path / "b" / "vocoder.npz")["gru_a_mask"]
     np.testing.assert_array_equal(mask_out, mask_in)
 
@@ -341,7 +343,7 @@ def test_freerun_train_step_bunched(rng):
 
 
 def test_init_weights_partial_mask_ramps_from_checkpoint_density(
-        tmp_path, monkeypatch, caplog):
+        tmp_path):
     """--init-weights from a PARTIALLY pruned checkpoint (denser than the
     target, e.g. a stage-1 best captured mid-recovery-window at 0.25)
     must ramp from ITS density down to the target — a ramp restarted
@@ -349,14 +351,11 @@ def test_init_weights_partial_mask_ramps_from_checkpoint_density(
     run above the best-by-validation density gate (observed live: a
     160-epoch fine-tune whose 2.73 dB epoch-65 score was rejected
     because the from-1.0 ramp sat at 0.55)."""
-    import logging
+    import subprocess
     import sys
+    from pathlib import Path
 
     from scipy.io.wavfile import write as wavwrite
-
-    sys.path.insert(0, str(
-        __import__("pathlib").Path(__file__).resolve().parent.parent / "apps"))
-    import train_vocoder
 
     wav_dir = tmp_path / "wavs"
     wav_dir.mkdir()
@@ -364,11 +363,21 @@ def test_init_weights_partial_mask_ramps_from_checkpoint_density(
     audio = (rng.normal(size=12800) * 3000).astype(np.int16)
     wavwrite(wav_dir / "utt.wav", 16000, audio)
 
+    app = Path(__file__).resolve().parent.parent / "apps" / "train_vocoder.py"
+
     def run(out, args):
-        monkeypatch.setattr(sys, "argv", ["train_vocoder.py", str(wav_dir),
-                                          str(out), "--batch", "2",
-                                          "--chunk-frames", "4"] + args)
-        train_vocoder.main()
+        # Subprocess on purpose: in-process, this test is the ~Nth fresh
+        # compile of the vocoder train step in one long pytest process and
+        # XLA's CPU compiler segfaulted there reproducibly (full-suite runs
+        # only; isolation always passed).  A fresh process also matches how
+        # the staged CLI is actually used.
+        r = subprocess.run(
+            [sys.executable, str(app), str(wav_dir), str(out),
+             "--batch", "2", "--chunk-frames", "4", "--platform", "cpu"]
+            + args,
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return (out / "training.log").read_text()
 
     # Stage 1: prune to 0.5 — denser than stage 2's 0.25 target.
     run(tmp_path / "a", ["--epochs", "2", "--density", "0.5"])
@@ -378,13 +387,11 @@ def test_init_weights_partial_mask_ramps_from_checkpoint_density(
 
     # Stage 2 with a lower target: the ramp must start at the
     # checkpoint's density (never above), and end at the new target.
-    with caplog.at_level(logging.INFO):
-        run(tmp_path / "b", ["--epochs", "5", "--density", "0.25",
-                             "--init-weights",
-                             str(tmp_path / "a" / "vocoder.npz")])
-    assert "prune ramp starts at the checkpoint density" in caplog.text
-    for rec in caplog.records:
-        msg = rec.getMessage()
+    log_text = run(tmp_path / "b", ["--epochs", "5", "--density", "0.25",
+                                    "--init-weights",
+                                    str(tmp_path / "a" / "vocoder.npz")])
+    assert "prune ramp starts at the checkpoint density" in log_text
+    for msg in log_text.splitlines():
         if "GRU-A density" in msg:
             d = float(msg.split("GRU-A density ")[1].rstrip(")"))
             assert d <= d_in + 1e-2, f"ramp exceeded checkpoint density: {msg}"
