@@ -770,6 +770,12 @@ def main() -> None:
     _PARTIAL["extra"]["segment_vocoder_weights"] = seg["vocoder_weights"]
     _dispersion("segment_300frames_to_audio_ms", seg["fused_reps"],
                 _PARTIAL["extra"])
+    # The fused word program pays exactly ONE device round trip; net of
+    # the measured RPC floor is the on-device+host word cost a locally
+    # attached chip would see (the <50 ms north-star framing — the
+    # closed-loop counterpart lives in BUDGET_r03.json).
+    _PARTIAL["extra"]["segment_300frames_net_of_rpc_ms"] = \
+        round(max(0.0, seg["fused_ms"] - _rpc_floor() * 1000), 3)
     if "fused_bunched_ms" in seg:
         _PARTIAL["extra"]["segment_300frames_to_audio_bunched_ms"] = \
             round(seg["fused_bunched_ms"], 3)

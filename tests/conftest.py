@@ -26,6 +26,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound process-cumulative compiled-program state.
+
+    The full suite compiles thousands of XLA programs in one process;
+    late fresh compiles (vocoder train steps) segfaulted inside
+    backend_compile reproducibly at ~the same point in three full-suite
+    runs while always passing in isolation.  Dropping compiled
+    executables between modules keeps the process far from whatever
+    resource the compiler exhausts; modules re-warm their own jits."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
