@@ -688,9 +688,13 @@ def main() -> None:
                 # (The r2 microbench said 256 @ 23.8x with random masks;
                 # this puts the claim in the reproducible artifact.)
                 for nstream in (128, 256):
-                    cap = _bench_vocoder(n_frames=25, batch=nstream,
+                    # n_frames=50: at 25 frames the per-call fixed cost
+                    # starves the large-batch estimate (9.3x/stream at
+                    # 256 vs the 23x the same checkpoint measures at
+                    # 100 frames, tools/sampler_microbench.py).
+                    cap = _bench_vocoder(n_frames=50, batch=nstream,
                                          use_pallas=True, weights=bsw,
-                                         chain=12, chain_reps=3)
+                                         chain=8, chain_reps=3)
                     key = f"vocoder_rtf_{nstream}stream"
                     _PARTIAL["extra"][f"{key}_aggregate_device"] = \
                         round(cap["rtf_device"], 3)
@@ -782,6 +786,8 @@ def main() -> None:
         _PARTIAL["extra"]["segment_bunched_weights"] = seg["bunched_weights"]
         _dispersion("segment_300frames_to_audio_bunched_ms",
                     seg["fused_bunched_reps"], _PARTIAL["extra"])
+        _PARTIAL["extra"]["segment_300frames_bunched_net_of_rpc_ms"] = \
+            round(max(0.0, seg["fused_bunched_ms"] - _rpc_floor() * 1000), 3)
     _PARTIAL["extra"]["scaleup_8x256ch_frames_per_sec"] = \
         round(_bench_scaleup(), 1)
     if _HIGH_SPREAD:
