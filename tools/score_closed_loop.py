@@ -117,6 +117,22 @@ def main() -> None:
 
     from dss_tpu.vocoder.lpcnet import LPCNet
 
+    # The comparison is only meaningful when the offline resynthesis uses
+    # the same vocoder the run used; decode_online logs its config.
+    run_log = os.path.join(args.run_dir, "log.run.txt")
+    if os.path.exists(run_log):
+        with open(run_log) as fd:
+            for line in fd:
+                if "Vocoder: backend=" in line:
+                    cfg = line.split("Vocoder: ")[1].strip()
+                    if "backend=net" not in cfg or \
+                            os.path.basename(args.weights) not in cfg:
+                        print(f"WARNING: run used '{cfg}' but scoring "
+                              f"against {args.weights} — deltas compare "
+                              f"different vocoders, not the online path",
+                              file=sys.stderr)
+                    break
+
     feats, recos = read_segments(args.run_dir)
     use_pallas = {"auto": None, "on": True, "off": False}[args.pallas]
     voc = LPCNet(backend="net", weights=args.weights, seed=args.seed,
