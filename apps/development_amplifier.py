@@ -71,13 +71,14 @@ class Amplifier:
 
     def __init__(self, mat_file: str, package_size: int, loop: bool = False,
                  seconds: float = 0, port: int = 5556,
-                 epsilon: float = 1e-7):
+                 epsilon: float = 1e-7, duration: float = 0):
         import zmq
 
         self.mat_file = mat_file
         self.package_size = package_size
         self.epsilon = epsilon
         self.loop = loop
+        self.duration = duration
 
         self.ecog, self.fs, self.stim_codes, self.stimuli = self._read_mat()
         if seconds > 0:
@@ -130,6 +131,13 @@ class Amplifier:
         self.time_val = time.time()
         self.time_val_initial = self.time_val
         while True:
+            if self.duration > 0 and \
+                    time.time() - self.time_val_initial >= self.duration:
+                logger.info(
+                    f"Cancelled streaming after --duration "
+                    f"{self.duration:.0f} s of wall clock."
+                )
+                break
             if not self.loop and self.ecog_sample_index >= len(self.ecog):
                 logger.info(
                     "Cancelled streaming due to reaching end of ECoG signal "
@@ -186,7 +194,14 @@ if __name__ == "__main__":
     parser.add_argument("--loop", "-l", action="store_true",
                         help="Restart after all samples have been sent.")
     parser.add_argument("--seconds", "-s", default=0,
-                        help="How many seconds to send (0 = all samples).")
+                        help="Truncate the SESSION to this many seconds of "
+                             "recording before streaming (0 = all samples). "
+                             "NB with --loop the truncated session replays "
+                             "forever; bound wall time with --duration.")
+    parser.add_argument("--duration", "-d", default=0, type=float,
+                        help="Stop streaming after this much wall-clock "
+                             "time (0 = unbounded) — the natural bound for "
+                             "--loop soak runs.")
     parser.add_argument("--port", default=5556, type=int)
 
     args = parser.parse_args()
@@ -198,6 +213,7 @@ if __name__ == "__main__":
     amplifier = Amplifier(
         mat_file=args.mat_file, package_size=int(args.package_size),
         loop=args.loop, seconds=float(args.seconds), port=args.port,
+        duration=args.duration,
     )
     try:
         amplifier.stream()
