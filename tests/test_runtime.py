@@ -342,3 +342,50 @@ def test_topological_drain_deep_pipeline():
     # 3 source messages, each amplified 2x over 6 hops = 3 * 64.
     assert len(system.SINK.items) == 3 * 2 ** 6
     assert sorted(set(system.SINK.items)) == [0, 1, 2]
+
+
+def test_latency_budget_aggregation(tmp_path, capsys):
+    """DelayedStdoutForSoX turns per-word stamps into the per-stage budget
+    table: stage intervals keyed in path order, p50/p95 over words, one
+    device round trip counted per *_device_done interval, and the JSON
+    artifact written to budget_path.  Pins the math the closed-loop
+    BUDGET_r03 artifacts rely on."""
+    import asyncio
+    import json
+    import time
+
+    from dss_tpu.runtime.units import DelayedStdoutForSoX, SoXOutputSettings
+
+    unit = DelayedStdoutForSoX()
+    path = tmp_path / "budget.json"
+    unit.apply_settings(SoXOutputSettings(rpc_floor_ms=10.0,
+                                          budget_path=str(path)))
+    unit.initialize()
+
+    t0 = time.time() - 1.0
+    for k in range(4):
+        msg = ClosedLoopMessage(
+            data=np.zeros(16, np.int16), fs=16000, received_at=t0,
+            stamps=(("fe_dispatch", t0 + 0.010),
+                    ("fe_device_done", t0 + 0.040),
+                    ("dv_dispatch", t0 + 0.045),
+                    ("dv_device_done", t0 + 0.100 + 0.010 * k)),
+        )
+        asyncio.run(unit.print(msg))
+    unit.shutdown()
+    capsys.readouterr()  # swallow the raw PCM written to stdout
+
+    report = json.loads(path.read_text())
+    assert report["n_words"] == 4
+    assert report["device_round_trips_per_word"] == 2
+    assert report["rpc_floor_ms"] == 10.0
+    assert report["tunnel_rpc_share_ms"] == 20.0
+    stages = report["stages"]
+    # Interval keys in path order, each with p50/p95 over the 4 words.
+    assert list(stages)[:2] == ["ingest->fe_dispatch",
+                                "fe_dispatch->fe_device_done"]
+    assert abs(stages["fe_dispatch->fe_device_done"]["p50"] - 30.0) < 1.0
+    assert stages["ingest->fe_dispatch"]["n"] == 4
+    # total = ingest -> audio_out wall time; net subtracts the floor share.
+    assert report["total_p50_net_of_tunnel_ms"] == \
+        stages["total"]["p50"] - 20.0
