@@ -596,11 +596,42 @@ _PARTIAL = {"metric": "vocoder_rtf_1stream_device", "value": 0.0,
 _PRINTED = False
 
 
+# Extras promoted into the (bounded) headline stdout line.  Everything
+# else lives in bench_detail.json: round 3's line outgrew the driver's
+# stdout capture window and BENCH_r03.json landed with "parsed": null —
+# the headline must stay a few hundred bytes no matter how many fields
+# the detail dict grows (VERDICT r3 item 2).
+_HEADLINE_KEYS = (
+    "vocoder_rtf_1stream_device_median",
+    "vocoder_rtf_1stream_device_spread",
+    "vocoder_rtf_256stream_aggregate_device",
+    "vocoder_rtf_128stream_aggregate_device",
+    "segment_300frames_net_of_rpc_ms",
+    "packet_to_vad_p50_ms",
+)
+_DETAIL_PATH = "bench_detail.json"
+
+
 def _emit() -> None:
     global _PRINTED
-    if not _PRINTED:
-        _PRINTED = True
-        print(json.dumps(_PARTIAL), flush=True)
+    if _PRINTED:
+        return
+    _PRINTED = True
+    try:
+        with open(_DETAIL_PATH, "w") as f:
+            json.dump(_PARTIAL, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        _log(f"could not write {_DETAIL_PATH}: {e}")
+    extra = _PARTIAL["extra"]
+    compact = dict(_PARTIAL, extra={k: extra[k] for k in _HEADLINE_KEYS
+                                    if k in extra})
+    compact["extra"]["detail"] = _DETAIL_PATH
+    line = json.dumps(compact)
+    if len(line) > 900:  # belt and braces: never outgrow the capture window
+        compact["extra"] = {"detail": _DETAIL_PATH}
+        line = json.dumps(compact)
+    print(line, flush=True)
 
 
 def _install_partial_emitter() -> None:

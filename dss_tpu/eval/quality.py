@@ -285,15 +285,18 @@ def keyword_id_report(originals: dict, resyntheses: dict) -> dict:
             best_other = min(others, key=others.get) if others else None
             total += 1
             correct += int(best_word == word)
-            confusion[word][best_word] = \
-                confusion.get(word, {}).get(best_word, 0) + 1
+            # A resynthesis word absent from the originals (e.g. a typo'd
+            # --syn-dir entry) is counted as a classification error, not a
+            # crash: mirror the margins path's tolerance of unknown words.
+            row_counts = confusion.setdefault(word, {})
+            row_counts[best_word] = row_counts.get(best_word, 0) + 1
             row = {"word": word, "predicted": best_word,
                    "own_d": round(dists.get(word, float("nan")), 4)}
             if best_other is not None:
                 row["best_other_word"] = best_other
                 row["best_other_d"] = round(others[best_other], 4)
                 row["margin"] = round(others[best_other]
-                                      - dists[word], 4)
+                                      - dists.get(word, float("nan")), 4)
             margins.append(row)
     if total == 0:
         raise ValueError("no resyntheses given")

@@ -324,10 +324,13 @@ async def _run_subscriber(unit: Unit, fn, queue: asyncio.Queue,
             # Contain per-message failures: a crashing handler must not
             # wedge the whole graph (queue joins would deadlock) — log and
             # keep consuming, mirroring the reference's swallow-per-job
-            # behavior (local/training.py:196-198).
+            # behavior (local/training.py:196-198).  With coalescing the
+            # handler saw a drained batch, so say how many messages the
+            # failure cost, not just "message dropped".
+            n_lost = len(message) if isinstance(message, list) else 1
             logger.exception(
                 f"handler error in {type(unit).__name__}.{fn.__name__}; "
-                f"message dropped"
+                f"{n_lost} message(s) dropped"
             )
         finally:
             queue.task_done()

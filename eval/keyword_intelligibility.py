@@ -114,6 +114,13 @@ def main() -> None:
         wd, ws = [], []
         syn_variants = (pre_rendered[word] if pre_rendered is not None
                         else variants)
+        if len(syn_variants) != len(variants):
+            # zip() would silently drop the unmatched originals and skew
+            # accuracy/CD; a rendered-variant count mismatch is a broken
+            # --syn-dir, not something to score around.
+            raise SystemExit(
+                f"--syn-dir has {len(syn_variants)} rendering(s) for "
+                f"'{word}' but {len(variants)} original(s)")
         for audio, rendered in zip(variants, syn_variants):
             if vocoder is not None:
                 enc = LPCFeatureEncoder()

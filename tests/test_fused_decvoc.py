@@ -95,6 +95,37 @@ def test_fused_net_backend_shapes_and_determinism():
         u.shutdown()
 
 
+def test_fused_net_backend_audio_matches_host_pack():
+    """Value parity for the device-side int16 bitcast pack: the fused net
+    program's audio bytes must equal host-side
+    ``np.clip(pcm*32767, -32768, 32767).astype(int16)`` of a separate
+    net_synthesize_frames run with identical state — a byte-order or
+    clip/truncate mismatch in the pack/unpack pair would otherwise pass the
+    shape/determinism test unnoticed (advisor r3)."""
+    import jax.numpy as jnp
+
+    from dss_tpu.vocoder.net import net_synthesize_frames, net_vocoder_init
+
+    fused = _fused("net")
+    rng = np.random.default_rng(6)
+    T, mult = 8, 10
+    segment = rng.normal(size=(T, 8)).astype(np.float32)
+    lpc, audio = fused._decode_and_vocode(segment)
+
+    # Reconstruct the padded conditioning the fused program vocoded: valid
+    # frames then repeat-pad of the last valid frame (the one-hot einsum in
+    # segment_program reduces to exactly this).
+    feats = np.concatenate([lpc, np.repeat(lpc[-1:], mult - T, axis=0)])
+    state = net_vocoder_init(fused._voc_model, batch=1)
+    pcm, _ = net_synthesize_frames(
+        fused._voc_model, fused._voc_params, state,
+        jnp.asarray(feats[None]), use_pallas=False)
+    expect = np.clip(np.asarray(pcm).reshape(-1) * 32767.0,
+                     -32768, 32767).astype(np.int16)[: T * 160]
+    np.testing.assert_array_equal(audio, expect)
+    fused.shutdown()
+
+
 def test_fused_warmed_bucket_compiles_nothing():
     from test_no_stream_compiles import _compile_log
 

@@ -128,3 +128,22 @@ def test_keyword_id_accuracy():
     noise = {w: (0.2 * rng.normal(size=v.shape)).astype(np.float32)
              for w, v in words.items()}
     assert keyword_id_accuracy(words, noise) <= 2.0 / 3.0
+
+
+def test_keyword_id_report_unknown_word_counts_as_error():
+    """A resynthesis keyed by a word absent from the originals (e.g. a
+    typo'd --syn-dir entry) must be scored as an error, not crash the
+    confusion-matrix accounting (advisor r3)."""
+    from dss_tpu.eval.quality import keyword_id_report
+
+    words = {
+        "left": _word(110.0, (300, 2200), seed=1),
+        "right": _word(130.0, (700, 1100), seed=2),
+    }
+    resyn = dict(words)
+    resyn["mystery"] = _word(150.0, (450, 3400), seed=3)
+    rep = keyword_id_report(words, resyn)
+    assert rep["accuracy"] == 2.0 / 3.0
+    assert sum(rep["confusion"]["mystery"].values()) == 1
+    m = next(r for r in rep["margins"] if r["word"] == "mystery")
+    assert np.isnan(m["own_d"])
