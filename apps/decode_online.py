@@ -84,6 +84,10 @@ class NeuroprosthesisSettings(ez.Settings):
     # Fuse decode + vocode into one device dispatch per word (halves the
     # per-word round trips; both stages share one prewarmed length bucket).
     fused_decoder: bool = False
+    # Chunked audio emission on the fused word path: ship the first 0.5 s
+    # of a word as soon as it is synthesized instead of waiting for the
+    # whole word (bit-identical concatenated output; net backend only).
+    chunked_emission: bool = True
     # Segment-length padding bucket and startup-prewarm list for the word
     # path; tune per deployment with tools/bucket_sweep.py over log.vad.lab.
     segment_length_multiple: int = 50
@@ -204,7 +208,8 @@ class Neuroprosthesis(ez.System):
         logger.info(
             f"Vocoder: backend={self.SETTINGS.vocoder_backend} "
             f"weights={self.SETTINGS.vocoder_weights} "
-            f"fused_decoder={self.SETTINGS.fused_decoder}"
+            f"fused_decoder={self.SETTINGS.fused_decoder} "
+            f"chunked_emission={self.SETTINGS.chunked_emission}"
         )
         # (Re-)logged here because build_neuroprostetics_settings runs
         # before the log handlers are installed.
@@ -232,6 +237,7 @@ class Neuroprosthesis(ez.System):
                 params=decoder_params,
                 vocoder_backend=self.SETTINGS.vocoder_backend,
                 vocoder_weights=self.SETTINGS.vocoder_weights,
+                chunk_emission=self.SETTINGS.chunked_emission,
                 **buckets,
             ))
         else:
@@ -291,8 +297,11 @@ class Neuroprosthesis(ez.System):
             edges += [
                 (segments_out, self.DECODE_VOCODE.INPUT),
                 (self.DECODE_VOCODE.LPC, self.LPC_LOGGER.INPUT),
+                # OUTPUT carries in-order audio chunks (first chunk ships
+                # before the rest of the word is synthesized); WORD carries
+                # the concatenated word for the per-segment reco wav tap.
                 (self.DECODE_VOCODE.OUTPUT, self.LOUDSPEAKER.INPUT),
-                (self.DECODE_VOCODE.OUTPUT, self.WAV_LOGGER.INPUT),
+                (self.DECODE_VOCODE.WORD, self.WAV_LOGGER.INPUT),
             ]
         else:
             edges += [
@@ -359,6 +368,8 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
                          and vocoder_backend == "net")
     else:
         fused_decoder = fused_dec_raw in ("1", "true", "yes")
+    chunked_raw = (optional("Decoding", "chunked_emission") or "true").lower()
+    chunked_emission = chunked_raw in ("1", "true", "yes", "auto")
     # Word-path padding buckets (tools/bucket_sweep.py prints these two
     # lines ready to paste from observed log.vad.lab distributions).
     segment_length_multiple = optional(
@@ -419,6 +430,7 @@ def build_neuroprostetics_settings(settings_filename: str, run_name: str,
         idle_timeout=idle_timeout,
         fused_frontend=fused_frontend,
         fused_decoder=fused_decoder,
+        chunked_emission=chunked_emission,
         segment_length_multiple=segment_length_multiple,
         segment_prewarm_frames=segment_prewarm_frames,
     )

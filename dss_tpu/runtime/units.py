@@ -59,6 +59,16 @@ def _with_stamps(msg, extra, **kw):
     return replace(msg, **kw)
 
 
+def _anonymize(msg, **kw):
+    """``replace(msg, **kw)`` with latency bookkeeping stripped: used for
+    the non-first audio chunks of a word (and the whole-word wav tap) so
+    the audio sink does not count them as fresh word latencies."""
+    if isinstance(msg, ClosedLoopMessage):
+        kw.setdefault("received_at", None)
+        kw.setdefault("stamps", ())
+    return replace(msg, **kw)
+
+
 def interpret_bci2000_packet(data: bytes) -> np.ndarray:
     """GenericSignal packet -> float64 [samples, channels] array.
 
@@ -840,6 +850,15 @@ class FusedDecoderVocoderSettings(Settings):
     # Buckets compiled in a background thread at startup; 2*length_multiple
     # is warmed synchronously in initialize().
     prewarm_frames: Tuple[int, ...] = (50, 150, 200, 250, 300)
+    # Chunked audio emission (net backend): the head program decodes the
+    # word and vocodes only the FIRST 50-frame chunk; later chunks are
+    # separate pre-dispatched programs whose audio ships as each readback
+    # lands.  First-audio latency then pays one chunk of vocoding instead
+    # of the whole word's; concatenated output is BIT-identical to the
+    # single-shot program (net_synthesize_frames chunk invariance).
+    # Requires length_multiple % 50 == 0 (falls back to single-shot
+    # otherwise).
+    chunk_emission: bool = True
 
 
 class FusedDecoderVocoder(Unit):
@@ -860,7 +879,8 @@ class FusedDecoderVocoder(Unit):
     SETTINGS: FusedDecoderVocoderSettings
     INPUT = InputStream(TimeSeriesMessage)
     LPC = OutputStream(TimeSeriesMessage)
-    OUTPUT = OutputStream(TimeSeriesMessage)
+    OUTPUT = OutputStream(TimeSeriesMessage)   # audio chunks, in order
+    WORD = OutputStream(TimeSeriesMessage)     # whole word (wav-logger tap)
 
     def initialize(self) -> None:
         import jax
@@ -878,8 +898,8 @@ class FusedDecoderVocoder(Unit):
 
         if s.vocoder_backend == "net":
             from ..vocoder.lpcnet import _load_params, _sparse_pattern_of
-            from ..vocoder.net import LPCNetModel, net_synthesize_frames, \
-                net_vocoder_init
+            from ..vocoder.net import COND_BLOCK, LPCNetModel, \
+                net_synthesize_frames, net_vocoder_init
 
             self._voc_params = _load_params(s.vocoder_weights)
             # Architecture (incl. the bunch factor) rides in the checkpoint.
@@ -892,18 +912,35 @@ class FusedDecoderVocoder(Unit):
             sparse = _sparse_pattern_of(self._voc_params, use_pallas)
             self._voc_state = net_vocoder_init(self._voc_model, batch=1)
             decoder, voc_model = self._model, self._voc_model
+            # Chunked emission needs buckets that are whole 50-frame
+            # synthesis blocks, or chunk boundaries would perturb the
+            # stream (net_synthesize_frames chunk-invariance contract).
+            self._chunk = COND_BLOCK
+            self._chunked = bool(s.chunk_emission) \
+                and s.length_multiple % COND_BLOCK == 0
+            chunk = self._chunk
 
-            @jax.jit
-            def segment_program(dec_params, voc_params, voc_state, x, mask):
+            def pack_audio(pcm):
+                # int16 PAIRS bitcast into f32 lanes: the audio leaves the
+                # host as int16 anyway and is ~90% of the payload — f32 PCM
+                # nearly doubled the word readback (Tp*720 vs Tp*400
+                # bytes).  Same clip->truncate conversion the host applied
+                # before, so output bytes are unchanged.
+                pcm16 = jnp.clip(pcm.reshape(-1) * 32767.0,
+                                 -32768, 32767).astype(jnp.int16)
+                return jax.lax.bitcast_convert_type(
+                    pcm16.reshape(-1, 2), jnp.float32)
+
+            def padded_features(dec_params, x, mask):
                 pred, _ = decoder.apply(dec_params, x, None, mask=mask)
                 # Replace padded positions with the last valid frame (the
                 # same repeat-pad the separate vocoder unit applies) so the
                 # carried vocoder state never consumes masked-garbage
-                # conditioning.  mask is 1s then 0s; the last valid frame is
-                # picked with a one-hot reduction (no dynamic indexing).
+                # conditioning.  mask is 1s then 0s; the last valid frame
+                # is picked with a one-hot reduction (no dynamic indexing).
                 # NB the carried vocoder state DOES advance over the pad
-                # tail (< length_multiple frames of held conditioning).  The
-                # last valid frame of every segment is trailing-context
+                # tail (< length_multiple frames of held conditioning).
+                # The last valid frame of every segment is trailing-context
                 # silence (segments end with `context` non-speech frames,
                 # reference local/common.py:156-215), so the drift is "a
                 # little more silence synthesis" — matching the separate
@@ -915,26 +952,55 @@ class FusedDecoderVocoder(Unit):
                 last_frame = jnp.einsum("bt,btf->bf", last_ind, pred)
                 feats = pred * mask[..., None] \
                     + last_frame[:, None, :] * (1.0 - mask[..., None])
+                return pred, feats
+
+            @jax.jit
+            def segment_program(dec_params, voc_params, voc_state, x, mask):
+                # Single-shot: decode + vocode the WHOLE word in one
+                # program; features + audio packed into ONE f32 array (the
+                # host needs both per word, and each separate device->host
+                # read is a full round trip on tunneled backends).
+                pred, feats = padded_features(dec_params, x, mask)
                 pcm, voc_state = net_synthesize_frames(
                     voc_model, voc_params, voc_state, feats,
                     use_pallas=use_pallas, sparse_pattern=sparse,
                 )
-                # Features + audio packed into ONE f32 array: the host needs
-                # both per word, and each separate device->host read is a
-                # full round trip on tunneled backends.  The audio rides as
-                # int16 PAIRS bitcast into f32 lanes (it leaves the host as
-                # int16 anyway, and audio is ~90% of the payload — f32 PCM
-                # nearly doubled the word readback: Tp*720 vs Tp*400 bytes).
-                # Same clip->truncate conversion the host applied before,
-                # so output bytes are unchanged.
-                pcm16 = jnp.clip(pcm.reshape(-1) * 32767.0,
-                                 -32768, 32767).astype(jnp.int16)
-                pcm_bits = jax.lax.bitcast_convert_type(
-                    pcm16.reshape(-1, 2), jnp.float32)
-                packed = jnp.concatenate([pred.reshape(-1), pcm_bits])
+                packed = jnp.concatenate([pred.reshape(-1),
+                                          pack_audio(pcm)])
                 return packed, voc_state
 
+            @jax.jit
+            def head_program(dec_params, voc_params, voc_state, x, mask):
+                # Chunked head: decode the word but vocode only the FIRST
+                # chunk — first-audio latency stops paying the rest of the
+                # word's synthesis.  Padded conditioning stays on device
+                # for the tail programs.
+                pred, feats = padded_features(dec_params, x, mask)
+                pcm, voc_state = net_synthesize_frames(
+                    voc_model, voc_params, voc_state, feats[:, :chunk],
+                    use_pallas=use_pallas, sparse_pattern=sparse,
+                )
+                packed = jnp.concatenate([pred.reshape(-1),
+                                          pack_audio(pcm)])
+                return packed, feats, voc_state
+
+            @jax.jit
+            def tail_program(voc_params, voc_state, feats, k):
+                # Vocode chunk k (traced index: ONE compile covers every
+                # chunk of a bucket).  Dispatched eagerly right after the
+                # head, so chunk compute pipelines behind the readbacks.
+                fch = jax.lax.dynamic_slice(
+                    feats, (0, k * chunk, 0),
+                    (feats.shape[0], chunk, feats.shape[2]))
+                pcm, voc_state = net_synthesize_frames(
+                    voc_model, voc_params, voc_state, fch,
+                    use_pallas=use_pallas, sparse_pattern=sparse,
+                )
+                return pack_audio(pcm), voc_state
+
             self._program = segment_program
+            self._head = head_program
+            self._tail = tail_program
             self._lpcnet = None
         else:
             from ..vocoder import LPCNet
@@ -949,6 +1015,8 @@ class FusedDecoderVocoder(Unit):
                 return pred.reshape(-1), voc_state
 
             self._program = segment_program
+            self._head = self._tail = None
+            self._chunked = False
             self._voc_params = None
             self._voc_state = None
 
@@ -982,10 +1050,19 @@ class FusedDecoderVocoder(Unit):
             from ..vocoder.net import net_vocoder_init
 
             state = net_vocoder_init(self._voc_model, batch=1)
+        x = jnp.zeros((1, n_frames, electrodes), jnp.float32)
+        mask = jnp.ones((1, n_frames), jnp.float32)
+        if self._chunked:
+            packed, feats, st = self._head(
+                self._dec_params, self._voc_params, state, x, mask)
+            if n_frames > self._chunk:  # buckets with tail chunks
+                bits, st = self._tail(self._voc_params, st, feats,
+                                      jnp.int32(1))
+                np.asarray(bits)
+            np.asarray(packed)
+            return
         packed, _ = self._program(
-            self._dec_params, self._voc_params, state,
-            jnp.zeros((1, n_frames, electrodes), jnp.float32),
-            jnp.ones((1, n_frames), jnp.float32),
+            self._dec_params, self._voc_params, state, x, mask,
         )
         np.asarray(packed)
         if self._lpcnet is not None:
@@ -994,7 +1071,7 @@ class FusedDecoderVocoder(Unit):
     def shutdown(self) -> None:
         self._executor.shutdown(wait=True)
 
-    def _decode_and_vocode(self, data: np.ndarray):
+    def _pad_segment(self, data: np.ndarray):
         T = len(data)
         mult = self.SETTINGS.length_multiple
         Tp = -(-T // mult) * mult
@@ -1002,9 +1079,12 @@ class FusedDecoderVocoder(Unit):
         x[0, :T] = data
         mask = np.zeros((1, Tp), np.float32)
         mask[0, :T] = 1.0
+        return T, Tp, jnp.asarray(x), jnp.asarray(mask)
+
+    def _decode_and_vocode(self, data: np.ndarray):
+        T, Tp, x, mask = self._pad_segment(data)
         packed, self._voc_state = self._program(
-            self._dec_params, self._voc_params, self._voc_state,
-            jnp.asarray(x), jnp.asarray(mask),
+            self._dec_params, self._voc_params, self._voc_state, x, mask,
         )
         packed = np.asarray(packed)  # ONE device->host read per word
         self._t_device_done = time.time()
@@ -1020,24 +1100,87 @@ class FusedDecoderVocoder(Unit):
             audio = packed[Tp * nb_out:].view(np.int16)[: T * 160]
         return lpc, audio
 
+    def _decode_head(self, data: np.ndarray):
+        """Chunked word start: run the head program, eagerly dispatch every
+        tail chunk (device compute pipelines behind the readbacks), then
+        read back decoded features + the first chunk's audio — the only
+        device round trip on the first-audio critical path."""
+        T, Tp, x, mask = self._pad_segment(data)
+        packed, feats, st = self._head(
+            self._dec_params, self._voc_params, self._voc_state, x, mask)
+        pending = []
+        for k in range(1, Tp // self._chunk):
+            bits, st = self._tail(self._voc_params, st, feats, jnp.int32(k))
+            pending.append(bits)
+        self._voc_state = st
+        packed = np.asarray(packed)
+        self._t_device_done = time.time()
+        nb_out = self._model.nb_outputs
+        lpc = packed[:Tp * nb_out].reshape(Tp, nb_out)[:T]
+        audio0 = packed[Tp * nb_out:].view(np.int16)
+        audio0 = audio0[: min(T, self._chunk) * 160]
+        return lpc, audio0, pending, T
+
+    def _read_chunk(self, bits, k: int, T: int) -> np.ndarray:
+        """Read back tail chunk ``k``, trimmed to the word's valid frames
+        (the padded repeat-pad tail is synthesized for state continuity but
+        never shipped)."""
+        valid = min(T - k * self._chunk, self._chunk)
+        return np.asarray(bits).view(np.int16)[: valid * 160]
+
     @subscriber(INPUT)
     @publisher(LPC)
     @publisher(OUTPUT)
+    @publisher(WORD)
     async def decode(self, msg: TimeSeriesMessage) -> AsyncGenerator:
         import asyncio
 
+        loop = asyncio.get_running_loop()
         data = np.asarray(msg.data, np.float32)
         t_dispatch = time.time()
         # Off the event loop: an un-prewarmed segment-length bucket compiles
         # here (tens of seconds on a tunneled device) and must not freeze
         # ingest. Single worker keeps segments ordered.
-        lpc, audio = await asyncio.get_running_loop().run_in_executor(
-            self._executor, self._decode_and_vocode, data
+        if not self._chunked:
+            lpc, audio = await loop.run_in_executor(
+                self._executor, self._decode_and_vocode, data
+            )
+            stamps = (("dv_dispatch", t_dispatch),
+                      ("dv_device_done", self._t_device_done))
+            yield self.LPC, replace(msg, data=lpc, fs=100)
+            yield self.OUTPUT, _with_stamps(msg, stamps, data=audio,
+                                            fs=16000)
+            yield self.WORD, _anonymize(msg, data=audio, fs=16000)
+            return
+
+        lpc, audio0, pending, T = await loop.run_in_executor(
+            self._executor, self._decode_head, data
         )
         stamps = (("dv_dispatch", t_dispatch),
                   ("dv_device_done", self._t_device_done))
         yield self.LPC, replace(msg, data=lpc, fs=100)
-        yield self.OUTPUT, _with_stamps(msg, stamps, data=audio, fs=16000)
+        # First chunk carries the word's latency stamps: its audio_out time
+        # IS the time speech starts playing (the reference's "delayed"
+        # latency contract, local/units.py:34-35).
+        yield self.OUTPUT, _with_stamps(msg, stamps, data=audio0, fs=16000)
+        parts = [audio0]
+        for i, bits in enumerate(pending, start=1):
+            audio_k = await loop.run_in_executor(
+                self._executor, self._read_chunk, bits, i, T)
+            parts.append(audio_k)
+            if i == len(pending):
+                # Completion marker: the sink aggregates these rows into a
+                # separate word-completion distribution (not the latency
+                # table — chunks 2..N of a word are not new words).
+                out = _with_stamps(
+                    msg, (("dv_dispatch", t_dispatch),
+                          ("dv_word_complete", time.time())),
+                    data=audio_k, fs=16000)
+            else:
+                out = _anonymize(msg, data=audio_k, fs=16000)
+            yield self.OUTPUT, out
+        word = np.concatenate(parts) if len(parts) > 1 else audio0
+        yield self.WORD, _anonymize(msg, data=word, fs=16000)
 # endregion
 
 
@@ -1052,6 +1195,10 @@ class SoXOutputSettings(Settings):
 
     rpc_floor_ms: Optional[float] = None
     budget_path: Optional[str] = None
+    # A word whose total exceeds this is counted as a STALL (multi-second
+    # tunnel device-read freezes, absorbed by the executor isolation) and
+    # excluded from the tail percentiles — but always counted and reported.
+    stall_threshold_ms: float = 1000.0
 
 
 class DelayedStdoutForSoX(Unit):
@@ -1070,29 +1217,40 @@ class DelayedStdoutForSoX(Unit):
 
     def initialize(self) -> None:
         self.latencies_ms: List[float] = []
+        self.completions_ms: List[float] = []
         self._budget_rows: List[dict] = []
 
     @subscriber(INPUT)
     async def print(self, msg: ClosedLoopMessage) -> None:
         sys.stdout.buffer.write(np.asarray(msg.data).tobytes())
         sys.stdout.flush()
-        if getattr(msg, "received_at", None) is not None:
-            now = time.time()
-            latency_ms = (now - msg.received_at) * 1000.0
-            self.latencies_ms.append(latency_ms)
+        if getattr(msg, "received_at", None) is None:
+            return  # interior audio chunk of a word — bytes only
+        now = time.time()
+        latency_ms = (now - msg.received_at) * 1000.0
+        stamps = tuple(getattr(msg, "stamps", ()) or ())
+        if any(name == "dv_word_complete" for name, _ in stamps):
+            # Final chunk of a chunked word: a completion row, not a new
+            # word (the word's latency was logged with its first chunk).
+            self.completions_ms.append(latency_ms)
             logger.info(
-                f"segment audio out: {len(msg.data)} samples, "
-                f"ingest->audio {latency_ms:.1f} ms"
+                f"word complete: last chunk out, ingest->last_audio "
+                f"{latency_ms:.1f} ms"
             )
-            stamps = getattr(msg, "stamps", ()) or ()
-            if stamps:
-                row = {}
-                prev_name, prev_t = "ingest", msg.received_at
-                for name, t in tuple(stamps) + (("audio_out", now),):
-                    row[f"{prev_name}->{name}"] = (t - prev_t) * 1000.0
-                    prev_name, prev_t = name, t
-                row["total"] = latency_ms
-                self._budget_rows.append(row)
+            return
+        self.latencies_ms.append(latency_ms)
+        logger.info(
+            f"segment audio out: {len(msg.data)} samples, "
+            f"ingest->audio {latency_ms:.1f} ms"
+        )
+        if stamps:
+            row = {}
+            prev_name, prev_t = "ingest", msg.received_at
+            for name, t in stamps + (("audio_out", now),):
+                row[f"{prev_name}->{name}"] = (t - prev_t) * 1000.0
+                prev_name, prev_t = name, t
+            row["total"] = latency_ms
+            self._budget_rows.append(row)
 
     def shutdown(self) -> None:
         if self.latencies_ms:
@@ -1105,6 +1263,10 @@ class DelayedStdoutForSoX(Unit):
             return
         # Aggregate the per-word stage intervals (keys in path order from
         # the first row; wirings are homogeneous within a run).
+        s = self.SETTINGS
+        stall_ms = float(getattr(s, "stall_threshold_ms", 1000.0)
+                         if s is not None else 1000.0)
+        stalls = [r for r in self._budget_rows if r["total"] > stall_ms]
         keys = [k for k in self._budget_rows[0] if k != "total"]
         table = {}
         for k in keys + ["total"]:
@@ -1117,23 +1279,50 @@ class DelayedStdoutForSoX(Unit):
         for k in keys + ["total"]:
             lines.append(f"  {k:<32s} {table[k]['p50']:7.1f} / "
                          f"{table[k]['p95']:7.1f}")
-        s = self.SETTINGS
         floor = getattr(s, "rpc_floor_ms", None) if s is not None else None
         if floor is None:
             floor = self._measure_rpc_floor()
         n_rpc = sum(1 for k in keys if k.endswith("_device_done"))
         report = {"n_words": len(self._budget_rows), "stages": table,
-                  "device_round_trips_per_word": n_rpc}
+                  "device_round_trips_per_word": n_rpc,
+                  "stall_threshold_ms": stall_ms,
+                  "stall_count": len(stalls)}
+        if self.completions_ms:
+            report["word_complete"] = {
+                "p50": float(np.percentile(self.completions_ms, 50)),
+                "p95": float(np.percentile(self.completions_ms, 95)),
+                "n": len(self.completions_ms)}
+            lines.append(
+                f"  word complete (last chunk)      "
+                f"{report['word_complete']['p50']:7.1f} / "
+                f"{report['word_complete']['p95']:7.1f}   "
+                f"(n={len(self.completions_ms)}; multi-chunk words only)")
         if floor is not None and n_rpc:
             tunnel_ms = float(floor) * n_rpc
             net = table["total"]["p50"] - tunnel_ms
             report["rpc_floor_ms"] = float(floor)
             report["tunnel_rpc_share_ms"] = tunnel_ms
             report["total_p50_net_of_tunnel_ms"] = net
-            lines.append(
-                f"  tunnel share: {n_rpc} round trips x {floor:.1f} ms "
-                f"floor = {tunnel_ms:.1f} ms -> p50 net of tunnel "
-                f"{net:.1f} ms")
+            # Tail latency net of the tunnel floor.  Stalled words
+            # (multi-second tunnel freezes) are EXCLUDED from the tail
+            # percentile but counted above — on a locally attached chip
+            # neither the floor nor the stalls exist.
+            ok = [r["total"] for r in self._budget_rows
+                  if r["total"] <= stall_ms]
+            if ok:
+                p95_net = float(np.percentile(ok, 95)) - tunnel_ms
+                report["total_p95_net_of_tunnel_ms"] = p95_net
+                lines.append(
+                    f"  tunnel share: {n_rpc} round trips x {floor:.1f} ms"
+                    f" floor = {tunnel_ms:.1f} ms -> p50 net of tunnel "
+                    f"{net:.1f} ms, p95 net {p95_net:.1f} ms "
+                    f"({len(stalls)} stall(s) > {stall_ms:.0f} ms "
+                    f"excluded from p95)")
+            else:
+                lines.append(
+                    f"  tunnel share: {n_rpc} round trips x {floor:.1f} ms"
+                    f" floor = {tunnel_ms:.1f} ms -> p50 net of tunnel "
+                    f"{net:.1f} ms")
         logger.info("\n".join(lines))
         path = getattr(s, "budget_path", None) if s is not None else None
         if path:

@@ -303,7 +303,8 @@ class NetVocoderState(NamedTuple):
     exc_idx: jnp.ndarray    # [B] int32
     feat_mem: jnp.ndarray   # [B, FEAT_CONTEXT, 20] conv left-context
     deemph: jnp.ndarray     # [B]
-    rng: jax.Array
+    rng: jax.Array          # base key; per-frame keys fold in frame_ctr
+    frame_ctr: jnp.ndarray  # [] int32, absolute frame position of the stream
 
 
 def net_vocoder_init(model: LPCNetModel, batch: int, seed: int = 0
@@ -317,7 +318,16 @@ def net_vocoder_init(model: LPCNetModel, batch: int, seed: int = 0
         feat_mem=jnp.zeros((batch, FEAT_CONTEXT, NB_FEATURES), jnp.float32),
         deemph=jnp.zeros((batch,), jnp.float32),
         rng=jax.random.PRNGKey(seed),
+        frame_ctr=jnp.zeros((), jnp.int32),
     )
+
+
+# Canonical synthesis block (see the blocked scan in
+# net_synthesize_frames): 50 frames = 8000 samples, matching the runtime's
+# segment_length_multiple bucket so word programs and 50-frame chunk
+# programs share block boundaries.
+COND_BLOCK = 50
+DEEMPH_BLOCK = COND_BLOCK * FRAME_SIZE
 
 
 @partial(jax.jit, static_argnames=("model", "use_pallas", "sparse_pattern",
@@ -337,120 +347,181 @@ def net_synthesize_frames(model: LPCNetModel, params,
     (xiph LPCNet exposes the analogous knob on its sampler); greedy=True
     selects per-sample argmax decoding (deterministic, used for
     diagnostics and kernel-equivalence tests).
-    """
+
+    Chunk invariance: synthesis is a pure stream function of the carried
+    state — splitting a feature sequence across calls produces BIT-identical
+    concatenated audio to one call, as long as every call is a whole number
+    of DEEMPH_BLOCK sample blocks (50 frames; the runtime's bucket
+    granularity).  Sampling noise is keyed per ABSOLUTE frame
+    (``fold_in(rng, frame_ctr + t)``), never per call, and de-emphasis
+    associates in fixed 50-frame blocks.  Pinned by
+    tests/test_vocoder.py chunk-invariance cases; the fused online word
+    path (runtime/units.py FusedDecoderVocoder) relies on it to ship audio
+    chunks before the whole word is synthesized."""
     B, T, _ = features.shape
 
-    feats_ctx = jnp.concatenate([state.feat_mem, features], axis=1)
-    cond_all = model.condition(params, feats_ctx)[:, FEAT_CONTEXT:]  # [B,T,cd]
+    # Per-frame keys from the stream's absolute frame counter: noise for
+    # frame t depends only on (rng, frame_ctr + t), so call boundaries do
+    # not perturb the sampled stream (chunk invariance, see docstring).
+    frame_keys = jax.vmap(lambda t: jax.random.fold_in(state.rng, t))(
+        state.frame_ctr + jnp.arange(T, dtype=jnp.int32))
 
-    bands = bands_from_cepstrum(features[..., :NB_BANDS])
-    lpc_all, _ = jax.vmap(jax.vmap(lpc_from_bands))(bands)  # [B, T, 16]
+    feats_ctx_all = jnp.concatenate([state.feat_mem, features], axis=1)
 
-    corr = jnp.clip(features[..., NB_BANDS + 1] + 0.5, 0.0, 1.0)  # [B, T]
-    if greedy:
-        temperature = jnp.full(corr.shape + (1,), -1.0, jnp.float32)
+    def block(carry, feats_ctx, keys):
+        """One canonical synthesis block.
+
+        feats_ctx [B, FEAT_CONTEXT+L, 20] (causal-conv left context first),
+        keys [L] per-frame PRNG keys, carry (h_a, h_b, sig_mem, exc_idx,
+        deemph).  ALL per-frame compute — conditioning convs, LPC
+        derivation, sampling, de-emphasis — happens at block shape: a
+        full 50-frame block of a stream therefore executes the identical
+        compiled body no matter how calls chunk the stream, which is what
+        makes chunked output bit-identical (XLA's matmul/associative-scan
+        FP schedules depend on operand length, so full-call-shaped compute
+        would round differently per chunking)."""
+        h_a, h_b, sig_mem, exc_idx, deemph = carry
+        feats = feats_ctx[:, FEAT_CONTEXT:]
+        L = feats.shape[1]
+        cond_all = model.condition(params, feats_ctx)[:, FEAT_CONTEXT:]
+        bands = bands_from_cepstrum(feats[..., :NB_BANDS])
+        lpc_all, _ = jax.vmap(jax.vmap(lpc_from_bands))(bands)  # [B, L, 16]
+
+        corr = jnp.clip(feats[..., NB_BANDS + 1] + 0.5, 0.0, 1.0)  # [B, L]
+        if greedy:
+            temperature = jnp.full(corr.shape + (1,), -1.0, jnp.float32)
+        else:
+            # Sharper when voiced (pitch-correlation-dependent, as LPCNet).
+            temperature = ((1.0 + 1.5 * corr) * temperature_scale)[..., None]
+
+        if use_pallas and model.bunch > 1:
+            from ..ops.pallas.sampler import sampler_frames_bunched_pallas
+
+            seeds = jax.vmap(lambda k: jax.random.randint(
+                k, (), 0, 2**31 - 1, jnp.int32))(keys)
+            (h_a, h_b, sig_mem, exc_idx), sig = sampler_frames_bunched_pallas(
+                model, params, (h_a, h_b, sig_mem, exc_idx),
+                cond_all, lpc_all, temperature, seeds,
+                frame_size=FRAME_SIZE, sparse_pattern=sparse_pattern,
+            )
+        elif use_pallas and model.bunch == 1:
+            from ..ops.pallas.sampler import sampler_frames_pallas
+
+            seeds = jax.vmap(lambda k: jax.random.randint(
+                k, (), 0, 2**31 - 1, jnp.int32))(keys)
+            (h_a, h_b, sig_mem, exc_idx), sig = sampler_frames_pallas(
+                model, params, (h_a, h_b, sig_mem, exc_idx),
+                cond_all, lpc_all, temperature, seeds,
+                frame_size=FRAME_SIZE, sparse_pattern=sparse_pattern,
+            )
+        elif model.bunch > 1:
+            S = model.bunch
+            steps = FRAME_SIZE // S
+            gumbel = jax.vmap(lambda k: jax.random.gumbel(
+                k, (steps, B, S, MULAW_LEVELS), jnp.float32))(keys)
+
+            def frame_body(carry, frame_in):
+                cond_t, lpc_t, gumbel_t, temp_t = frame_in
+
+                def step(c, g):
+                    c, (samples, _) = model.bunch_step(
+                        params, c, cond_t, lpc_t, g, temp_t
+                    )
+                    return c, samples  # [B, S]
+
+                carry, samples = jax.lax.scan(step, carry, gumbel_t)
+                return carry, samples  # [steps, B, S]
+
+            frame_ins = (
+                jnp.moveaxis(cond_all, 1, 0),   # [L, B, cd]
+                jnp.moveaxis(lpc_all, 1, 0),    # [L, B, 16]
+                gumbel,                          # [L, steps, B, S, 256]
+                jnp.moveaxis(temperature, 1, 0),
+            )
+            (h_a, h_b, sig_mem, exc_idx), sig = jax.lax.scan(
+                frame_body, (h_a, h_b, sig_mem, exc_idx), frame_ins
+            )
+            # [L, steps, B, S] -> [B, L*steps*S]
+            sig = jnp.moveaxis(sig, 2, 0).reshape(B, L * FRAME_SIZE)
+        else:
+            gumbel = jax.vmap(lambda k: jax.random.gumbel(
+                k, (FRAME_SIZE, B, MULAW_LEVELS), jnp.float32))(keys)
+
+            def frame_body(carry, frame_in):
+                cond_t, lpc_t, gumbel_t, temp_t = frame_in
+
+                def step(c, g):
+                    c, (sample, _, _) = model.sample_step(
+                        params, c, cond_t, lpc_t, g, temp_t
+                    )
+                    return c, sample
+
+                carry, samples = jax.lax.scan(step, carry, gumbel_t)
+                return carry, samples  # [FRAME_SIZE, B]
+
+            frame_ins = (
+                jnp.moveaxis(cond_all, 1, 0),   # [L, B, cd]
+                jnp.moveaxis(lpc_all, 1, 0),    # [L, B, 16]
+                gumbel,                          # [L, 160, B, 256]
+                jnp.moveaxis(temperature, 1, 0),
+            )
+            (h_a, h_b, sig_mem, exc_idx), sig = jax.lax.scan(
+                frame_body, (h_a, h_b, sig_mem, exc_idx), frame_ins
+            )
+            sig = jnp.moveaxis(sig.reshape(L * FRAME_SIZE, B), 0, 1)
+
+        # De-emphasis: y[t] = s[t] + a*y[t-1] as a parallel associative
+        # scan over affine maps (exact; see ops/filters.py for the same
+        # construction).  A sequential lax.scan here costs ~1 us per step
+        # x 16000 samples per 100 frames — it dominated the whole
+        # synthesis call (~40% of device time).  Association is per block,
+        # so it too is canonical for full blocks.
+        def combine(left, right):
+            ml, bl = left
+            mr, br = right
+            return ml * mr, mr * bl + br
+
+        m_cum, b_cum = jax.lax.associative_scan(
+            combine, (jnp.full_like(sig, PREEMPH), sig), axis=1)
+        y = m_cum * deemph[..., None] + b_cum
+        deemph = y[:, -1]
+        pcm = jnp.clip(y, -1.0, 1.0)
+        return (h_a, h_b, sig_mem, exc_idx, deemph), pcm
+
+    carry = (state.h_a, state.h_b, state.sig_mem, state.exc_idx,
+             state.deemph)
+    # Imported same-pad checkpoints (emb_pitch) condition on FUTURE frames,
+    # so 50-frame block boundaries would perturb their conditioning: they
+    # run single-shot (chunk invariance is not offered for them — their
+    # path is offline import/eval, reference LPCNet.pyx:30-40 surface).
+    if "emb_pitch" in params:
+        nfull, rem = 0, T
     else:
-        # Sharper when voiced (pitch-correlation-dependent, as in LPCNet).
-        temperature = ((1.0 + 1.5 * corr) * temperature_scale)[..., None]
+        nfull, rem = divmod(T, COND_BLOCK)
+    parts = []
+    if nfull:
+        idx = (jnp.arange(nfull)[:, None] * COND_BLOCK
+               + jnp.arange(COND_BLOCK + FEAT_CONTEXT)[None, :])
+        blocks = jnp.moveaxis(feats_ctx_all[:, idx], 1, 0)
+        keys_b = frame_keys[: nfull * COND_BLOCK].reshape(
+            (nfull, COND_BLOCK) + frame_keys.shape[1:])
+        carry, pcm_b = jax.lax.scan(
+            lambda c, x: block(c, x[0], x[1]), carry, (blocks, keys_b))
+        parts.append(jnp.moveaxis(pcm_b, 0, 1).reshape(B, nfull
+                                                       * DEEMPH_BLOCK))
+    if rem:
+        carry, pcm_r = block(carry,
+                             feats_ctx_all[:, nfull * COND_BLOCK:],
+                             frame_keys[nfull * COND_BLOCK:])
+        parts.append(pcm_r)
+    pcm = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
-    rng, gkey = jax.random.split(state.rng)
-
-    if use_pallas and model.bunch > 1:
-        from ..ops.pallas.sampler import sampler_frames_bunched_pallas
-
-        seeds = jax.random.randint(gkey, (T,), 0, 2**31 - 1, jnp.int32)
-        (h_a, h_b, sig_mem, exc_idx), sig = sampler_frames_bunched_pallas(
-            model, params,
-            (state.h_a, state.h_b, state.sig_mem, state.exc_idx),
-            cond_all, lpc_all, temperature, seeds, frame_size=FRAME_SIZE,
-            sparse_pattern=sparse_pattern,
-        )
-    elif use_pallas and model.bunch == 1:
-        from ..ops.pallas.sampler import sampler_frames_pallas
-
-        seeds = jax.random.randint(gkey, (T,), 0, 2**31 - 1, jnp.int32)
-        (h_a, h_b, sig_mem, exc_idx), sig = sampler_frames_pallas(
-            model, params,
-            (state.h_a, state.h_b, state.sig_mem, state.exc_idx),
-            cond_all, lpc_all, temperature, seeds, frame_size=FRAME_SIZE,
-            sparse_pattern=sparse_pattern,
-        )
-    elif model.bunch > 1:
-        S = model.bunch
-        steps = FRAME_SIZE // S
-        gumbel = jax.random.gumbel(gkey, (T, steps, B, S, MULAW_LEVELS),
-                                   jnp.float32)
-
-        def frame_body(carry, frame_in):
-            cond_t, lpc_t, gumbel_t, temp_t = frame_in
-
-            def step(c, g):
-                c, (samples, _) = model.bunch_step(
-                    params, c, cond_t, lpc_t, g, temp_t
-                )
-                return c, samples  # [B, S]
-
-            carry, samples = jax.lax.scan(step, carry, gumbel_t)
-            return carry, samples  # [steps, B, S]
-
-        carry0 = (state.h_a, state.h_b, state.sig_mem, state.exc_idx)
-        frame_ins = (
-            jnp.moveaxis(cond_all, 1, 0),   # [T, B, cd]
-            jnp.moveaxis(lpc_all, 1, 0),    # [T, B, 16]
-            gumbel,                          # [T, steps, B, S, 256]
-            jnp.moveaxis(temperature, 1, 0),
-        )
-        (h_a, h_b, sig_mem, exc_idx), sig = jax.lax.scan(
-            frame_body, carry0, frame_ins
-        )
-        # [T, steps, B, S] -> [B, T*steps*S]
-        sig = jnp.moveaxis(sig, 2, 0).reshape(B, T * FRAME_SIZE)
-    else:
-        gumbel = jax.random.gumbel(gkey, (T, FRAME_SIZE, B, MULAW_LEVELS),
-                                   jnp.float32)
-        def frame_body(carry, frame_in):
-            cond_t, lpc_t, gumbel_t, temp_t = frame_in
-
-            def step(c, g):
-                c, (sample, _, _) = model.sample_step(
-                    params, c, cond_t, lpc_t, g, temp_t
-                )
-                return c, sample
-
-            carry, samples = jax.lax.scan(step, carry, gumbel_t)
-            return carry, samples  # [FRAME_SIZE, B]
-
-        carry0 = (state.h_a, state.h_b, state.sig_mem, state.exc_idx)
-        frame_ins = (
-            jnp.moveaxis(cond_all, 1, 0),   # [T, B, cd]
-            jnp.moveaxis(lpc_all, 1, 0),    # [T, B, 16]
-            gumbel,                          # [T, 160, B, 256]
-            jnp.moveaxis(temperature, 1, 0),
-        )
-        (h_a, h_b, sig_mem, exc_idx), sig = jax.lax.scan(
-            frame_body, carry0, frame_ins
-        )
-        sig = jnp.moveaxis(sig.reshape(T * FRAME_SIZE, B), 0, 1)  # [B, S]
-
-    # De-emphasis across the synthesized block: y[t] = s[t] + a*y[t-1] as a
-    # parallel associative scan over affine maps (exact; see ops/filters.py
-    # for the same construction). A sequential lax.scan here costs ~1 us
-    # per step x 16000 samples per 100 frames — it dominated the whole
-    # synthesis call (~40% of device time).
-    def combine(left, right):
-        ml, bl = left
-        mr, br = right
-        return ml * mr, mr * bl + br
-
-    m_cum, b_cum = jax.lax.associative_scan(
-        combine, (jnp.full_like(sig, PREEMPH), sig), axis=1)
-    y = m_cum * state.deemph[..., None] + b_cum
-    deemph = y[:, -1]
-    pcm = jnp.clip(y, -1.0, 1.0)
-
+    h_a, h_b, sig_mem, exc_idx, deemph = carry
     new_state = NetVocoderState(
         h_a=h_a, h_b=h_b, sig_mem=sig_mem, exc_idx=exc_idx,
-        feat_mem=feats_ctx[:, -FEAT_CONTEXT:] if FEAT_CONTEXT else state.feat_mem,
-        deemph=deemph, rng=rng,
+        feat_mem=(feats_ctx_all[:, -FEAT_CONTEXT:] if FEAT_CONTEXT
+                  else state.feat_mem),
+        deemph=deemph, rng=state.rng,
+        frame_ctr=state.frame_ctr + jnp.int32(T),
     )
     return pcm, new_state

@@ -80,6 +80,12 @@ def main() -> None:
                          "round-tripping through a vocoder — e.g. a closed-"
                          "loop run's reco wavs (tools/score_closed_loop.py "
                          "lays them out) or an external vocoder's output.")
+    ap.add_argument("--snr-sweep", default=None,
+                    help="Comma-separated SNRs in dB (e.g. '20,10,5,0'): "
+                         "additionally score noise-corrupted inputs at "
+                         "each SNR against the CLEAN originals — the "
+                         "noise-robustness curve (accuracy/STOI/CD vs "
+                         "SNR).  Vocoder mode only.")
     args = ap.parse_args()
 
     if args.platform:
@@ -150,10 +156,17 @@ def main() -> None:
 
     report = keyword_id_report(originals, resyntheses)
     acc = report["accuracy"]
+    margin_vals = [m["margin"] for m in report["margins"] if "margin" in m]
     out = {
         "keyword_id_accuracy": round(acc, 4),
         "confusion": report["confusion"],
         "margins": report["margins"],
+        # Margin distribution summary: how far the classification sits
+        # from its first error (12/12 with a 0.01 thinnest margin is one
+        # bad draw away from 11/12 — accuracy alone cannot see that).
+        **({"margin_min": round(float(np.min(margin_vals)), 4),
+            "margin_median": round(float(np.median(margin_vals)), 4)}
+           if margin_vals else {}),
         "chance": round(1.0 / len(words), 4),
         "num_words": len(words),
         "num_utterances": int(sum(len(v) for v in words.values())),
@@ -165,6 +178,45 @@ def main() -> None:
         "temperature_scale": args.temperature_scale,
         "per_word": per_word,
     }
+
+    if args.snr_sweep and vocoder is not None:
+        rng = np.random.default_rng(args.seed + 1)
+        sweep = {}
+        for snr_db in (float(s) for s in args.snr_sweep.split(",")):
+            noisy_res = {}
+            sweep_d, sweep_s = [], []
+            for word, variants in sorted(words.items()):
+                noisy_res[word] = []
+                for audio in variants:
+                    x = np.asarray(audio, np.float64)
+                    sig_p = float(np.mean(x ** 2)) + 1e-12
+                    noise = rng.standard_normal(len(x))
+                    noise *= np.sqrt(sig_p / 10.0 ** (snr_db / 10.0))
+                    noisy = np.clip(x + noise, -32768, 32767)
+                    enc = LPCFeatureEncoder()
+                    feats = enc.compute_LPC_features(
+                        noisy.astype(np.int16))
+                    vocoder.reset_decoder()
+                    syn = vocoder.synthesize_frames(feats)
+                    n = len(feats) * 160
+                    noisy_res[word].append(syn[:n])
+                    clean = np.asarray(audio[:n])
+                    r = score(clean, syn[:n])
+                    sweep_d.append(r.cepstral_distance_db)
+                    try:
+                        sweep_s.append(stoi(clean, syn[:n]))
+                    except ValueError:
+                        pass
+            rep = keyword_id_report(originals, noisy_res)
+            sweep[f"{snr_db:g}dB"] = {
+                "keyword_id_accuracy": round(rep["accuracy"], 4),
+                "cepstral_distance_db_mean":
+                    round(float(np.mean(sweep_d)), 3),
+                **({"stoi_mean": round(float(np.mean(sweep_s)), 4)}
+                   if sweep_s else {}),
+            }
+        out["noise_robustness"] = sweep
+
     print(json.dumps(out))
 
 

@@ -359,7 +359,8 @@ def test_latency_budget_aggregation(tmp_path, capsys):
     unit = DelayedStdoutForSoX()
     path = tmp_path / "budget.json"
     unit.apply_settings(SoXOutputSettings(rpc_floor_ms=10.0,
-                                          budget_path=str(path)))
+                                          budget_path=str(path),
+                                          stall_threshold_ms=5000.0))
     unit.initialize()
 
     t0 = time.time() - 1.0
@@ -389,3 +390,62 @@ def test_latency_budget_aggregation(tmp_path, capsys):
     # total = ingest -> audio_out wall time; net subtracts the floor share.
     assert report["total_p50_net_of_tunnel_ms"] == \
         stages["total"]["p50"] - 20.0
+    assert report["stall_count"] == 0
+    assert report["total_p95_net_of_tunnel_ms"] > 0
+
+
+def test_latency_budget_stalls_and_completions(tmp_path, capsys):
+    """Tail-latency accounting (VERDICT r3 item 7): words over the stall
+    threshold are counted but excluded from the net-of-tunnel p95; chunked
+    words' final-chunk (dv_word_complete) rows aggregate into a separate
+    word-completion distribution, not the word-latency table."""
+    import asyncio
+    import json
+    import time
+
+    from dss_tpu.runtime.units import DelayedStdoutForSoX, SoXOutputSettings
+
+    unit = DelayedStdoutForSoX()
+    path = tmp_path / "budget.json"
+    unit.apply_settings(SoXOutputSettings(
+        rpc_floor_ms=10.0, budget_path=str(path),
+        stall_threshold_ms=1000.0))
+    unit.initialize()
+
+    now = time.time()
+    # 9 normal words at ~100 ms + 1 multi-second tunnel stall.
+    for k in range(10):
+        total_s = 4.0 if k == 9 else 0.100 + 0.001 * k
+        t0 = now - total_s
+        msg = ClosedLoopMessage(
+            data=np.zeros(16, np.int16), fs=16000, received_at=t0,
+            stamps=(("dv_dispatch", t0 + 0.005),
+                    ("dv_device_done", now - 0.001)),
+        )
+        asyncio.run(unit.print(msg))
+        # Each word's final chunk lands ~40 ms later with the marker.
+        t_done = now + 0.040
+        fin = ClosedLoopMessage(
+            data=np.zeros(16, np.int16), fs=16000, received_at=t0,
+            stamps=(("dv_dispatch", t0 + 0.005),
+                    ("dv_word_complete", t_done)),
+        )
+        asyncio.run(unit.print(fin))
+    # Interior chunks (no received_at) must not count anywhere.
+    asyncio.run(unit.print(ClosedLoopMessage(
+        data=np.zeros(16, np.int16), fs=16000, received_at=None)))
+    unit.shutdown()
+    capsys.readouterr()
+
+    report = json.loads(path.read_text())
+    assert report["n_words"] == 10
+    assert report["stall_count"] == 1
+    assert report["stall_threshold_ms"] == 1000.0
+    # p95 net of tunnel is over the 9 non-stalled words only: all under
+    # 110 ms total minus the 20 ms floor share.
+    assert report["total_p95_net_of_tunnel_ms"] < 110.0
+    # ... while the all-words p95 in the table still carries the stall.
+    assert report["stages"]["total"]["p95"] > 1000.0
+    comp = report["word_complete"]
+    assert comp["n"] == 10
+    assert comp["p50"] > report["stages"]["total"]["p50"]

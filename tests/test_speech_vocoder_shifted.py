@@ -3,12 +3,15 @@
 Every other vocoder gate scores material drawn from the same generator
 configuration the training corpus used, so 12/12 keyword-ID there is
 necessary-but-weak evidence of intelligibility (VERDICT r2).  This gate
-round-trips keywords produced by the SHIFTED_SPEAKERS presets — ±10%
-vocal-tract (formant) scale, ±20-30% F0, ±10% speaking rate, 0.8-1.6x
-production noise (tools/make_speech_corpus.py) — parameters no training
-draw ever used.  The vocoder must keep identifying the vocabulary across
-speakers it has never heard, and the full confusion matrix plus
-per-utterance DTW margins must be available for inspection
+round-trips keywords produced by the SHIFTED_SPEAKERS presets — five
+speakers spanning ±10-15% vocal-tract (formant) scale, ±20-45% F0,
+0.72-1.35x speaking rate and up to 3x production noise
+(tools/make_speech_corpus.py) — parameters no training draw ever used.
+The vocoder must keep identifying the vocabulary across speakers it has
+never heard, PER PRESET: a per-preset floor catches a single confusable
+word pair inside one shift (which a pooled 75% floor would wave through —
+VERDICT r3 item 4), and the full confusion matrix plus per-utterance DTW
+margins must be available for inspection
 (dss_tpu.eval.quality.keyword_id_report).
 
 The matching reference capability is xiph LPCNet's speaker independence
@@ -30,6 +33,19 @@ WEIGHTS = REPO / "weights" / "vocoder_speech.npz"
 pytestmark = pytest.mark.skipif(
     not WEIGHTS.exists(), reason="speech checkpoint not shipped")
 
+# Per-preset keyword-ID floors (of 6).  The two round-3 presets measured
+# 6/6 with wide margins and keep a one-error floor; the three harder
+# round-4 presets (fast / slow_breathy / high_noisy) get a floor one
+# notch under their measured scores so a NEW confusable pair fails the
+# gate without flaking on sampling noise.
+PRESET_FLOORS = {
+    "bright": 5,
+    "deep": 5,
+    "fast": 5,
+    "slow_breathy": 5,
+    "high_noisy": 4,
+}
+
 
 @pytest.fixture(scope="module")
 def shifted_dir(tmp_path_factory):
@@ -43,34 +59,53 @@ def shifted_dir(tmp_path_factory):
     return out / "val_shifted"
 
 
-def test_shifted_keywords_identifiable(shifted_dir):
-    """>= 9/12 keyword-ID under speaker-shifted generation (ship evals
-    measure 10-12/12; the floor keeps one confusable pair of headroom
-    per speaker), and the report carries the full confusion matrix and
-    margins."""
+def test_shifted_keywords_identifiable_per_preset(shifted_dir):
     from dss_tpu.eval.quality import keyword_id_report
     from dss_tpu.vocoder import LPCNet
     from dss_tpu.vocoder.features import LPCFeatureEncoder
 
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_speech_corpus import SHIFTED_SPEAKERS
+
+    preset_names = sorted(SHIFTED_SPEAKERS)
+    assert set(PRESET_FLOORS) == set(preset_names)
+
     wavs = sorted(shifted_dir.glob("kw_*.wav"))
-    assert len(wavs) == 12  # 6 keywords x 2 shifted speakers
+    assert len(wavs) == 6 * len(preset_names)
 
     vocoder = LPCNet(backend="net", weights=str(WEIGHTS))
-    originals, resyntheses = {}, {}
+    # originals/resyntheses per preset: the identification runs WITHIN a
+    # speaker (nearest original of the same preset), mirroring how the
+    # deployed system's listener hears one voice at a time.
+    by_preset = {}
     for path in wavs:
-        word = path.stem.split("_")[1]
+        stem = path.stem.split("_")
+        word, v = stem[1], int(stem[2])
+        preset = preset_names[v]
         _, audio = wavfile.read(path)
         feats = LPCFeatureEncoder().compute_LPC_features(audio)
         vocoder.reset_decoder()
         syn = vocoder.synthesize_frames(feats)
         n = len(feats) * 160
-        originals.setdefault(word, []).append(audio[:n])
-        resyntheses.setdefault(word, []).append(syn[:n])
+        orig, res = by_preset.setdefault(preset, ({}, {}))
+        orig.setdefault(word, []).append(audio[:n])
+        res.setdefault(word, []).append(syn[:n])
 
-    report = keyword_id_report(originals, resyntheses)
-    # Confusion matrix covers all 12 utterances and margins carry the
-    # distance evidence.
-    assert sum(sum(r.values()) for r in report["confusion"].values()) == 12
-    assert len(report["margins"]) == 12
-    assert all("own_d" in m and "margin" in m for m in report["margins"])
-    assert report["accuracy"] >= 0.75, report["confusion"]
+    total_correct = 0
+    for preset in preset_names:
+        orig, res = by_preset[preset]
+        report = keyword_id_report(orig, res)
+        n_correct = round(report["accuracy"] * 6)
+        total_correct += n_correct
+        # Full evidence available: confusion matrix over all 6 utterances,
+        # margins with distances.
+        assert sum(sum(r.values())
+                   for r in report["confusion"].values()) == 6
+        assert len(report["margins"]) == 6
+        assert all("own_d" in m for m in report["margins"])
+        assert n_correct >= PRESET_FLOORS[preset], (
+            preset, report["confusion"],
+            [m for m in report["margins"] if m["word"] != m["predicted"]])
+    # Pooled floor on top (26/30): two simultaneous regressions cannot
+    # hide behind per-preset slack.
+    assert total_correct >= 26, total_correct

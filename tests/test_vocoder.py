@@ -181,3 +181,43 @@ def test_packaged_weights_prefer_speech_checkpoints(monkeypatch):
     present = set()
     assert voc.packaged_weights() is None
     assert voc.packaged_weights_bunched(2) is None
+
+
+@pytest.mark.parametrize("bunch", [1, 2])
+def test_net_synthesis_chunk_invariance_bitexact(bunch):
+    """Splitting synthesis into 50-frame (DEEMPH_BLOCK) chunks with carried
+    state is BIT-identical to one call over the whole sequence.
+
+    This is the contract the fused online word path relies on to ship
+    audio chunks before the whole word is synthesized (first-audio latency,
+    VERDICT r3 item 1): per-frame sampling noise is keyed on the stream's
+    absolute frame counter and de-emphasis associates in fixed 50-frame
+    blocks, so call boundaries at block granularity cannot perturb the
+    stream."""
+    import jax
+
+    from dss_tpu.vocoder.net import (LPCNetModel, net_synthesize_frames,
+                                     net_vocoder_init)
+
+    m = LPCNetModel(gru_a_units=64, gru_b_units=16, cond_dim=32,
+                    embed_dim=16, bunch=bunch)
+    p = m.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    T = 100  # 2 de-emphasis blocks
+    feats = jnp.asarray(rng.normal(size=(1, T, 20)) * 0.1, jnp.float32)
+
+    st = net_vocoder_init(m, batch=1, seed=5)
+    pcm_once, st_once = net_synthesize_frames(m, p, st, feats)
+
+    st = net_vocoder_init(m, batch=1, seed=5)
+    parts = []
+    for k in range(0, T, 50):
+        pcm_k, st = net_synthesize_frames(m, p, st, feats[:, k:k + 50])
+        parts.append(np.asarray(pcm_k))
+    pcm_split = np.concatenate(parts, axis=1)
+
+    np.testing.assert_array_equal(np.asarray(pcm_once), pcm_split)
+    # Carried state converges identically too (stream continues the same).
+    assert int(st.frame_ctr) == int(st_once.frame_ctr) == T
+    for a, b in zip(st_once, st):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

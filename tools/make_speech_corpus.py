@@ -71,6 +71,14 @@ IDENTITY = SpeakerShift()
 SHIFTED_SPEAKERS: Dict[str, SpeakerShift] = {
     "deep": SpeakerShift(formant=0.90, f0=0.80, rate=1.12, noise=0.8),
     "bright": SpeakerShift(formant=1.10, f0=1.30, rate=0.90, noise=1.6),
+    # Harder presets (VERDICT r3 item 4): strong rate shifts in both
+    # directions and a high-noise production, so the eval covers fast/slow
+    # speakers and breathy/noisy material, not just tract-length scaling.
+    "fast": SpeakerShift(formant=1.05, f0=1.10, rate=0.72, noise=1.2),
+    "slow_breathy": SpeakerShift(formant=0.95, f0=0.88, rate=1.35,
+                                 noise=2.5),
+    "high_noisy": SpeakerShift(formant=1.15, f0=1.45, rate=0.95,
+                               noise=3.0),
 }
 
 
