@@ -1181,6 +1181,187 @@ class FusedDecoderVocoder(Unit):
             yield self.OUTPUT, out
         word = np.concatenate(parts) if len(parts) > 1 else audio0
         yield self.WORD, _anonymize(msg, data=word, fs=16000)
+
+
+class ShardedFusedDecoderVocoderSettings(Settings):
+    """Settings for the multi-chip serving word path (see the unit)."""
+
+    path_to_model_weights: Optional[str]
+    model: Any
+    params: Optional[dict]
+    vocoder_weights: Optional[str] = None
+    length_multiple: int = 50
+    prewarm_frames: Tuple[int, ...] = ()
+    # Mesh size (0 = all attached devices) and serve batch (0 = the
+    # mesh's data-axis size; must be a multiple of it).
+    n_devices: int = 0
+    streams: int = 0
+
+
+class ShardedFusedDecoderVocoder(Unit):
+    """Multi-chip serving variant of FusedDecoderVocoder.
+
+    The word program — bidirectional decode + repeat-pad + neural
+    vocoder synthesis (the same math as FusedDecoderVocoder's
+    segment_program / parallel.shard.sharded_fused_word_path) — executes
+    SPMD over a ``jax.sharding.Mesh``: decoder + vocoder parameters are
+    replicated, the serve batch and every per-stream vocoder state tensor
+    are sharded over the mesh's "data" axis.  The live closed-loop stream
+    occupies slot 0 of the serve batch (the remaining slots are serving
+    capacity for more concurrent streams; here they replay the same
+    segment, keeping the SPMD shapes fully exercised).  Single-shot
+    emission; same LPC/OUTPUT/WORD surface as the fused unit, so
+    decode_online's wiring works unchanged.
+
+    This is the runtime-graph face of the pod-serving story
+    (apps/serve_multichip.py): one jitted program advances all streams,
+    with no cross-chip communication inside the vocoder.
+    """
+
+    SETTINGS: ShardedFusedDecoderVocoderSettings
+    INPUT = InputStream(TimeSeriesMessage)
+    LPC = OutputStream(TimeSeriesMessage)
+    OUTPUT = OutputStream(TimeSeriesMessage)
+    WORD = OutputStream(TimeSeriesMessage)
+
+    def initialize(self) -> None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import batched_vocoder_sharding, make_mesh
+        from ..vocoder.lpcnet import _load_params, _sparse_pattern_of
+        from ..vocoder.net import LPCNetModel, net_synthesize_frames, \
+            net_vocoder_init
+
+        s = self.SETTINGS
+        self._model = s.model(**(s.params or {}))
+        if s.path_to_model_weights is not None:
+            dec_params = load_checkpoint(
+                str(s.path_to_model_weights), self._model.nb_layer,
+                bidirectional=True, head_name="regressor")
+        else:
+            dec_params = self._model.init(jax.random.PRNGKey(0))
+        voc_params = _load_params(s.vocoder_weights)
+        voc_model = (LPCNetModel.from_params(voc_params)
+                     if voc_params is not None else LPCNetModel())
+        if voc_params is None:
+            voc_params = voc_model.init(jax.random.PRNGKey(0))
+
+        mesh = make_mesh(s.n_devices or None)
+        data_size = mesh.shape["data"]
+        streams = s.streams or data_size
+        if streams % data_size:
+            raise ValueError(
+                f"streams={streams} must be a multiple of the mesh's "
+                f"data axis ({data_size})")
+        self._mesh, self._streams = mesh, streams
+
+        def rep(leaf):
+            return jax.device_put(np.asarray(leaf),
+                                  NamedSharding(mesh, P()))
+
+        self._dec_params = jax.tree.map(rep, dec_params)
+        self._voc_params = jax.tree.map(rep, voc_params)
+        state = net_vocoder_init(voc_model, batch=streams)
+        self._voc_state, _ = batched_vocoder_sharding(
+            mesh, state, np.zeros((streams, 1, 1), np.float32))
+
+        use_pallas = jax.default_backend() != "cpu"
+        sparse = _sparse_pattern_of(voc_params, use_pallas)
+        decoder = self._model
+
+        @jax.jit
+        def word_program(dec_params, voc_params, voc_state, x, mask):
+            pred, _ = decoder.apply(dec_params, x, None, mask=mask)
+            nxt = jnp.concatenate(
+                [mask[:, 1:], jnp.zeros_like(mask[:, :1])], axis=1)
+            last_ind = mask * (1.0 - nxt)
+            last_frame = jnp.einsum("bt,btf->bf", last_ind, pred)
+            feats = pred * mask[..., None] \
+                + last_frame[:, None, :] * (1.0 - mask[..., None])
+            pcm, voc_state = net_synthesize_frames(
+                voc_model, voc_params, voc_state, feats,
+                use_pallas=use_pallas, sparse_pattern=sparse)
+            return pred, pcm, voc_state
+
+        self._program = word_program
+        electrodes = self._model.nb_electrodes
+        self._warm(2 * s.length_multiple, electrodes)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._executor = ThreadPoolExecutor(max_workers=1)
+        if s.prewarm_frames:
+            import threading
+
+            def prewarm():
+                for n in s.prewarm_frames:
+                    try:
+                        self._warm(n, electrodes)
+                    except Exception:  # pragma: no cover - advisory
+                        logger.exception("sharded word-path prewarm failed")
+                        return
+
+            threading.Thread(target=prewarm, daemon=True,
+                             name="sharded-decvoc-prewarm").start()
+
+    def _warm(self, n_frames: int, electrodes: int) -> None:
+        """Compile the n_frames bucket against a THROWAWAY vocoder state
+        (the sharded live state must not advance on warm-up zeros)."""
+        import jax
+
+        from ..parallel import batched_vocoder_sharding, shard_batch
+
+        x = np.zeros((self._streams, n_frames, electrodes), np.float32)
+        mask = np.ones((self._streams, n_frames), np.float32)
+        state, xb = batched_vocoder_sharding(
+            self._mesh, jax.tree.map(np.asarray, self._voc_state), x)
+        mb = shard_batch(self._mesh, mask)
+        with self._mesh:
+            pred, pcm, _ = self._program(
+                self._dec_params, self._voc_params, state, xb, mb)
+        np.asarray(pcm)
+
+    def shutdown(self) -> None:
+        self._executor.shutdown(wait=True)
+
+    def _decode_and_vocode(self, data: np.ndarray):
+        from ..parallel import shard_batch
+
+        T = len(data)
+        mult = self.SETTINGS.length_multiple
+        Tp = -(-T // mult) * mult
+        x = np.zeros((self._streams, Tp, data.shape[1]), np.float32)
+        x[:, :T] = data[None]
+        mask = np.zeros((self._streams, Tp), np.float32)
+        mask[:, :T] = 1.0
+        xb, mb = shard_batch(self._mesh, x, mask)
+        with self._mesh:
+            pred, pcm, self._voc_state = self._program(
+                self._dec_params, self._voc_params, self._voc_state,
+                xb, mb)
+        lpc = np.asarray(pred[0])[:T]
+        audio = np.clip(np.asarray(pcm[0]) * 32767.0,
+                        -32768, 32767).astype(np.int16)[: T * 160]
+        self._t_device_done = time.time()
+        return lpc, audio
+
+    @subscriber(INPUT)
+    @publisher(LPC)
+    @publisher(OUTPUT)
+    @publisher(WORD)
+    async def decode(self, msg: TimeSeriesMessage) -> AsyncGenerator:
+        import asyncio
+
+        data = np.asarray(msg.data, np.float32)
+        t_dispatch = time.time()
+        lpc, audio = await asyncio.get_running_loop().run_in_executor(
+            self._executor, self._decode_and_vocode, data
+        )
+        stamps = (("dv_dispatch", t_dispatch),
+                  ("dv_device_done", self._t_device_done))
+        yield self.LPC, replace(msg, data=lpc, fs=100)
+        yield self.OUTPUT, _with_stamps(msg, stamps, data=audio, fs=16000)
+        yield self.WORD, _anonymize(msg, data=audio, fs=16000)
 # endregion
 
 
