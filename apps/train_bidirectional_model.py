@@ -235,7 +235,15 @@ if __name__ == "__main__":
     parser.add_argument("--folds", type=int, default=1,
                         help="Number of leave-one-day-out folds to run "
                              "(reference default: 1).")
+    parser.add_argument("--platform", default=None,
+                        help="Force a JAX platform (e.g. 'cpu' — on hosts "
+                             "with a tunneled remote TPU the per-step RPC "
+                             "dominates this small model's step time).")
     args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     out_dir = Path(args.out_dir)
 
     train_config = TrainingConfiguration(

@@ -238,7 +238,13 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=1,
                         help="Trials per update (padded+masked data "
                              "parallelism; reference recipe uses 1).")
+    parser.add_argument("--platform", default=None,
+                        help="Force a JAX platform (e.g. 'cpu').")
     args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     out_dir = Path(args.out_dir)
 
     train_config = TrainingConfiguration(

@@ -446,8 +446,36 @@ def _bench_segment_path(frames: int = 300) -> dict:
         fused_reps.append((time.perf_counter() - t0) * 1000)
     ms_fused = min(fused_reps)
     _log(f"segment-path[fused]: {frames} frames -> audio in {ms_fused:.1f} ms")
+
+    # First-audio head: the chunked-emission critical path (decode + the
+    # FIRST 50-frame chunk, one packed readback — what the online unit's
+    # head program runs before speech starts playing; BUDGET_r04's bench
+    # counterpart).
+    @jax.jit
+    def head(voc_state, segment):
+        pred, _ = decoder.apply(dec_params, segment)
+        pcm, voc_state = net_synthesize_frames(voc, voc_params, voc_state,
+                                               pred[:, :50],
+                                               use_pallas=True,
+                                               sparse_pattern=sparse)
+        return jnp.concatenate([pred.reshape(-1), pcm.reshape(-1)]), \
+            voc_state
+
+    packed, st3 = head(state, segment)
+    _sync(packed)
+    head_reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        packed, st3 = head(st3, segment)
+        _sync(packed)
+        head_reps.append((time.perf_counter() - t0) * 1000)
+    ms_head = min(head_reps)
+    _log(f"segment-path[first-audio head]: decode + 50-frame chunk in "
+         f"{ms_head:.1f} ms")
     out = {"separate_ms": ms_sep, "fused_ms": ms_fused,
+           "first_audio_ms": ms_head,
            "separate_reps": sep_reps, "fused_reps": fused_reps,
+           "first_audio_reps": head_reps,
            # Which checkpoint produced these numbers (random-init numbers
            # are not comparable to shipped-weights runs).
            "vocoder_weights": _os.path.basename(shipped) if shipped
@@ -492,20 +520,34 @@ def _bench_segment_path(frames: int = 300) -> dict:
 
 
 def _bench_train_step(batch: int = 16, frames: int = 300,
-                      iters: int = 10) -> dict:
-    """Decoder training-step throughput + MFU (batched BPTT on one chip).
+                      iters: int = 10, channels: int = 64,
+                      hidden: int = 100) -> dict:
+    """Decoder training-step throughput + FULL roofline framing.
 
     LSTM FLOPs: 2 MAC-FLOPs x 4 gates x H x (in + H) per timestep, per
     layer, per direction; backward ~= 2x forward; regressor head added.
-    This is the bench where MFU is meaningful — the B=1 sampler is
-    latency-bound by design (see tools/sampler_microbench.py)."""
+    Bytes: params/grads/opt traffic + stored forward activations written
+    once and read once by the backward pass.
+
+    Honesty framing (VERDICT r3 item 5): a 2-layer biLSTM's train step is
+    SERIAL-LATENCY-bound, not compute- or bandwidth-bound — each step
+    runs 4 sequential scans of `frames` timesteps (2 layers x 2
+    directions in the fwd pass, mirrored in bwd) whose per-timestep
+    matmuls are far too small to fill the MXU, so the floor is
+    (scan steps x per-step dispatch latency), not FLOPs/peak.  The bench
+    therefore reports mfu AND membw_util AND the measured per-scan-step
+    latency: when both utilizations are <10% and per_scan_step_us sits
+    at the device's ~1 us scan-step floor, the step is at its structural
+    ceiling and more batch is the only lever (it amortizes the serial
+    latency over more frames — which is exactly what the bucketed
+    --batch_size path shows)."""
     import jax
     import jax.numpy as jnp
 
     from dss_tpu.models import BidirectionalSpeechSynthesisModel
     from dss_tpu.train.trainer_decoder import DecoderTrainer
 
-    E, H, F = 64, 100, 20
+    E, H, F = channels, hidden, 20
     model = BidirectionalSpeechSynthesisModel(2, H, E)
     trainer = DecoderTrainer(model)
     params, opt_state = trainer.init(jax.random.PRNGKey(0))
@@ -516,7 +558,7 @@ def _bench_train_step(batch: int = 16, frames: int = 300,
     mask = jnp.ones((batch, frames), jnp.float32)
     dk = jax.random.PRNGKey(1)
 
-    _log(f"train-step b={batch} T={frames}: compiling...")
+    _log(f"train-step b={batch} T={frames} E={E} H={H}: compiling...")
     params, opt_state, loss = trainer.train_step(params, opt_state, x, y,
                                                  mask, dk)
     _sync(loss)
@@ -535,15 +577,30 @@ def _bench_train_step(batch: int = 16, frames: int = 300,
                      ) * 2                  # both directions
     fwd_per_t += 2 * (2 * H) * F            # regressor
     flops = 3 * batch * frames * fwd_per_t  # fwd + ~2x bwd
-    steps_per_sec = 1.0 / best
-    res = {"step_ms": best * 1000, "frames_per_sec": batch * frames / best}
+    # Analytic bytes per step (f32): parameter-sized traffic (read params,
+    # write grads, read+write RMSprop accumulator, write params ~= 6x) +
+    # stored activations (gates + h + c per timestep/layer/direction,
+    # written fwd / read bwd) + batch inputs in and out of HBM twice.
+    n_params = sum(int(np.prod(np.asarray(p).shape))
+                   for p in jax.tree.leaves(params))
+    act_elems = batch * frames * (2 * 2 * 6 * H)
+    byte_count = 4 * (6 * n_params + 2 * act_elems
+                      + 2 * batch * frames * (E + F))
+    # 4 sequential scans of `frames` steps each in fwd; bwd mirrors them.
+    scan_steps = 8 * frames
+    res = {"step_ms": best * 1000,
+           "frames_per_sec": batch * frames / best,
+           "per_scan_step_us": best / scan_steps * 1e6}
     peaks = _peaks()
     if peaks:
         res["mfu"] = flops / best / peaks[0]
+        res["membw_util"] = byte_count / best / peaks[1]
     _log(f"train-step: {res['step_ms']:.1f} ms/step "
-         f"({res['frames_per_sec']:.0f} frames/s"
-         + (f", mfu {res['mfu'] * 100:.2f}%" if "mfu" in res else "") + ")")
-    del steps_per_sec
+         f"({res['frames_per_sec']:.0f} frames/s, "
+         f"{res['per_scan_step_us']:.2f} us/scan-step"
+         + (f", mfu {res['mfu'] * 100:.2f}%, membw "
+            f"{res['membw_util'] * 100:.2f}%" if "mfu" in res else "")
+         + ")")
     return res
 
 
@@ -607,6 +664,7 @@ _HEADLINE_KEYS = (
     "vocoder_rtf_256stream_aggregate_device",
     "vocoder_rtf_128stream_aggregate_device",
     "segment_300frames_net_of_rpc_ms",
+    "segment_first_audio_net_of_rpc_ms",
     "packet_to_vad_p50_ms",
 )
 _DETAIL_PATH = "bench_detail.json"
@@ -808,8 +866,12 @@ def main() -> None:
         _PARTIAL["extra"]["decoder_train_step_ms"] = round(tr["step_ms"], 2)
         _PARTIAL["extra"]["decoder_train_frames_per_sec"] = \
             round(tr["frames_per_sec"], 1)
+        _PARTIAL["extra"]["decoder_train_per_scan_step_us"] = \
+            round(tr["per_scan_step_us"], 3)
         if "mfu" in tr:
             _PARTIAL["extra"]["mfu_decoder_train"] = round(tr["mfu"], 5)
+            _PARTIAL["extra"]["membw_util_decoder_train"] = \
+                round(tr["membw_util"], 5)
         # Throughput-tuned point: the trainer's bucketed batching
         # (--batch_size + train/dataset.padded_batches) at a batch that
         # fills the MXU rows.  batch 16 is the realistic per-day corpus
@@ -820,6 +882,26 @@ def main() -> None:
         if "mfu" in tr64:
             _PARTIAL["extra"]["mfu_decoder_train_b64"] = \
                 round(tr64["mfu"], 5)
+            _PARTIAL["extra"]["membw_util_decoder_train_b64"] = \
+                round(tr64["membw_util"], 5)
+        # Scale-up throughput point (VERDICT r3 item 5): 256 channels,
+        # 2x-width decoder, bucketed batch 64 — the biggest honest
+        # configuration of this model family.  If mfu/membw_util both
+        # stay low while per_scan_step_us sits at the scan-dispatch
+        # floor, the recurrence is serial-latency-bound and that IS the
+        # documented ceiling (a 2-layer LSTM is not a transformer; the
+        # MXU cannot be filled from [B,H]x[H,4H] matmuls at H=200).
+        trs = _bench_train_step(batch=64, channels=256, hidden=200,
+                                iters=5)
+        _PARTIAL["extra"]["decoder_train_frames_per_sec_scaleup_b64"] = \
+            round(trs["frames_per_sec"], 1)
+        _PARTIAL["extra"]["decoder_train_per_scan_step_us_scaleup"] = \
+            round(trs["per_scan_step_us"], 3)
+        if "mfu" in trs:
+            _PARTIAL["extra"]["mfu_decoder_train_scaleup_b64"] = \
+                round(trs["mfu"], 5)
+            _PARTIAL["extra"]["membw_util_decoder_train_scaleup_b64"] = \
+                round(trs["membw_util"], 5)
     except Exception as e:
         _log(f"train-step bench unavailable: {e}")
     seg = _bench_segment_path()
@@ -833,9 +915,15 @@ def main() -> None:
     # The fused word program pays exactly ONE device round trip; net of
     # the measured RPC floor is the on-device+host word cost a locally
     # attached chip would see (the <50 ms north-star framing — the
-    # closed-loop counterpart lives in BUDGET_r03.json).
+    # closed-loop counterpart lives in BUDGET_r04.json).
     _PARTIAL["extra"]["segment_300frames_net_of_rpc_ms"] = \
         round(max(0.0, seg["fused_ms"] - _rpc_floor() * 1000), 3)
+    _PARTIAL["extra"]["segment_first_audio_ms"] = \
+        round(seg["first_audio_ms"], 3)
+    _PARTIAL["extra"]["segment_first_audio_net_of_rpc_ms"] = \
+        round(max(0.0, seg["first_audio_ms"] - _rpc_floor() * 1000), 3)
+    _dispersion("segment_first_audio_ms", seg["first_audio_reps"],
+                _PARTIAL["extra"])
     if "fused_bunched_ms" in seg:
         _PARTIAL["extra"]["segment_300frames_to_audio_bunched_ms"] = \
             round(seg["fused_bunched_ms"], 3)

@@ -105,6 +105,127 @@ def make_keyword_day(day_dir: Path, rng, n_trials: int = 6) -> None:
              _aligned_audio(rng, env))
 
 
+# ---------------------------------------------------------------------------
+# --speech mode: sessions whose audio track is actual (formant-synthesized)
+# keyword speech and whose ECoG carries a keyword-specific channel pattern
+# modulated by the speech envelope.  The decoder trained on this tree maps
+# neural patterns to real LPC trajectories, so the ONLINE run's reco wavs
+# are scoreable keyword speech (keyword-ID / STOI, incl. against
+# speaker-shifted templates) — the closed-loop intelligibility story, not
+# just byte accounting.  Fabricated, but the decoder only ever sees the
+# neural side; its output is judged against acoustic templates it never
+# saw directly.
+# ---------------------------------------------------------------------------
+
+_KEYWORD_ORDER = ["enter", "right", "back", "up", "left", "down"]
+
+
+def _keyword_bank(seed: int = 12345):
+    """Render each keyword once (fixed seed: all sessions share one
+    speaker) -> {word: float32 wav in [-1, 1] at 16 kHz}."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from make_speech_corpus import KEYWORDS, synth_word
+
+    rng = np.random.default_rng(seed)
+    bank = {}
+    for word in _KEYWORD_ORDER:
+        w = synth_word(KEYWORDS[word], rng, f0=120.0)
+        bank[word] = (w / (np.max(np.abs(w)) + 1e-9) * 0.6).astype(
+            np.float32)
+    return bank
+
+
+def _keyword_patterns(n_channels: int = 129, seed: int = 999):
+    """Keyword -> per-channel gain pattern (fixed across days/sessions; the
+    audio channel 128 gets no neural pattern)."""
+    rng = np.random.default_rng(seed)
+    pats = {}
+    for word in _KEYWORD_ORDER:
+        # Floor 0.45: every channel carries the speech envelope (the VAD
+        # needs broad activation); identity lives in the channel RATIOS.
+        g = rng.uniform(0.45, 1.0, n_channels)
+        g[128:] = 0.0
+        pats[word] = g
+    return pats
+
+
+def _speech_session(rng, seconds: float, spans, words, bank, patterns,
+                    quiet=0.05, loud=3.0):
+    """ECoG [T, 129] + 16 kHz audio + StimulusCode for keyword trials.
+
+    Per trial: the keyword wav starts at the span's burst onset; the ECoG
+    envelope of each channel follows the speech envelope times the
+    keyword's channel pattern (identity + timing both live in the
+    neural data, as in the real system's premise)."""
+    T = int(seconds * FS)
+    T16 = T * (FS_AUDIO // FS)
+    code = np.zeros(T, np.int16)
+    audio = rng.normal(size=T16) * 40.0  # room tone
+    env_ch = np.full((T, 129), quiet)
+    for i, ((t0, t1), word) in enumerate(zip(spans, words)):
+        code[int(t0 * FS):int(t1 * FS)] = (i % 2) + 1
+        wav = bank[word]
+        a0 = int(t0 * FS_AUDIO)
+        n = min(len(wav), T16 - a0)
+        audio[a0:a0 + n] += wav[:n] * 24000.0
+        # 1 kHz speech envelope (50 ms smoothed |wav|), channel-patterned.
+        # The envelope gets a FLOOR across the word span: acoustic dips
+        # (stop closures, inter-phoneme transitions) must not read as
+        # neural silence, or the nVAD fragments words and the online
+        # segment assembler never completes them (articulation continues
+        # through closures in the real system too).
+        e16 = np.abs(wav[:n])
+        e1k = e16[: (n // 16) * 16].reshape(-1, 16).mean(axis=1)
+        k = np.ones(50) / 50.0
+        e1k = np.convolve(e1k, k, mode="same")
+        e1k = e1k / (e1k.max() + 1e-9)
+        e1k = np.maximum(e1k, 0.45)
+        s0 = int(t0 * FS)
+        env_ch[s0:s0 + len(e1k)] += \
+            loud * e1k[:, None] * patterns[word][None, :]
+    signal = rng.normal(size=(T, 129)) * env_ch
+    # The recorded audio channel mirrors the microphone (contamination
+    # analysis reads channel 128).
+    signal[:, 128] = audio[::FS_AUDIO // FS] / 32767.0
+    audio_i16 = np.clip(audio, -32767, 32767).astype(np.int16)
+    return signal, code, audio_i16
+
+
+def make_speech_keyword_day(day_dir: Path, rng, bank, patterns,
+                            reps: int = 2) -> None:
+    day_dir.mkdir(parents=True, exist_ok=True)
+    words = _KEYWORD_ORDER * reps
+    seconds, code_spans, _ = _trial_layout(len(words), trial_s=3.0,
+                                           gap_s=1.5, shoulder_s=0.0)
+    signal, code, audio = _speech_session(rng, seconds, code_spans, words,
+                                          bank, patterns)
+    stimuli = np.array([["Enter", "Right"], ["1", "2"]], dtype=object)
+    savemat(str(day_dir / "KeywordReading_Overt_R01.mat"),
+            _mat_dict(signal, code, stimuli))
+    wavwrite(str(day_dir / "KeywordReading_Overt_R01.wav"), FS_AUDIO, audio)
+
+
+def make_speech_online_session(day_dir: Path, rng, bank, patterns,
+                               reps: int = 1):
+    """Online session: each keyword once per rep, words separated by > 0.5 s
+    quiet so each completes as its own online segment.  Returns
+    (words, spans, session_seconds) — tools/score_speech_run.py maps
+    reco_%05d.wav segments back to words by replay time (modulo the
+    session length for looped replays)."""
+    day_dir.mkdir(parents=True, exist_ok=True)
+    words = _KEYWORD_ORDER * reps
+    seconds, code_spans, _ = _trial_layout(len(words), trial_s=2.0,
+                                           gap_s=3.0, shoulder_s=0.0)
+    signal, code, _audio = _speech_session(rng, seconds, code_spans, words,
+                                           bank, patterns)
+    stimuli = np.array([["Enter", "Right"], ["1", "2"]], dtype=object)
+    savemat(str(day_dir / "KeywordSynthesis_Overt_R01.mat"),
+            _mat_dict(signal, code, stimuli))
+    return words, code_spans, seconds
+
+
 def make_syllable_day(day_dir: Path, rng, n_trials: int = 4) -> None:
     day_dir.mkdir(parents=True, exist_ok=True)
     seconds, code_spans, burst_spans = _trial_layout(n_trials)
@@ -164,16 +285,49 @@ def main() -> None:
                              "settings INI points at its stage outputs).")
     parser.add_argument("--vocoder", default="dsp", choices=["dsp", "net"],
                         help="Vocoder backend for the online stage.")
+    parser.add_argument("--speech", action="store_true",
+                        help="Embed formant-synthesized KEYWORD SPEECH in "
+                             "the sessions (audio track + keyword-"
+                             "patterned ECoG) so the trained closed "
+                             "loop's reco wavs are scoreable keyword "
+                             "speech; writes word_order.txt for the "
+                             "online session.")
+    parser.add_argument("--reps", type=int, default=2,
+                        help="--speech: keyword repetitions per training "
+                             "day (trials/day = 6*reps).")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
     base = Path(args.base)
     rng = np.random.default_rng(args.seed)
-    for i, day in enumerate(DAYS):
-        make_keyword_day(base / "KeywordReading" / day, rng)
-        make_syllable_day(base / "SyllableRepetition" / day, rng)
-    make_online_session(
-        base / "KeywordReading" / "online_sessions" / ONLINE_DAY, rng)
+    if args.speech:
+        bank = _keyword_bank()
+        patterns = _keyword_patterns()
+        for day in DAYS:
+            make_speech_keyword_day(base / "KeywordReading" / day, rng,
+                                    bank, patterns, reps=args.reps)
+            make_syllable_day(base / "SyllableRepetition" / day, rng)
+        words, spans, session_s = make_speech_online_session(
+            base / "KeywordReading" / "online_sessions" / ONLINE_DAY, rng,
+            bank, patterns)
+        import json as _json
+
+        (base / "word_order.json").write_text(_json.dumps({
+            "session_seconds": session_s,
+            "words": [{"word": w, "t0": t0, "t1": t1}
+                      for w, (t0, t1) in zip(words, spans)],
+        }, indent=1))
+        kw_dir = base / "keyword_templates"
+        kw_dir.mkdir(exist_ok=True)
+        for w, wav in bank.items():
+            wavwrite(str(kw_dir / f"kw_{w}_0.wav"), FS_AUDIO,
+                     (wav * 32767 * 0.55).astype(np.int16))
+    else:
+        for day in DAYS:
+            make_keyword_day(base / "KeywordReading" / day, rng)
+            make_syllable_day(base / "SyllableRepetition" / day, rng)
+        make_online_session(
+            base / "KeywordReading" / "online_sessions" / ONLINE_DAY, rng)
 
     ini = base / "replicate_settings.ini"
     ini.write_text(SETTINGS_TEMPLATE.format(
