@@ -78,10 +78,16 @@ if __name__ == "__main__":
     parser.add_argument("config", help="Path of the config file.")
     parser.add_argument("--norm", help="Path to the .mat file (overwrites the "
                                        "field normalization_file in config).")
+    parser.add_argument("--platform", default=None,
+                        help="Force a JAX platform (e.g. 'cpu').")
     parser.add_argument("--overwrite", required=False, default=False,
                         action="store_true",
                         help="Allow overwriting the session folder.")
     args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     session_dir, norm_file = get_paths(settings_filename=args.config)
     os.makedirs(session_dir, exist_ok=args.overwrite)

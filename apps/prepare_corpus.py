@@ -275,9 +275,17 @@ if __name__ == "__main__":
     parser.add_argument("out_dir", help="Directory for the feature/label HDF files.")
     parser.add_argument("norm_dir", help="Directory with the BCI2000 recordings used "
                                          "for normalization statistics.")
+    parser.add_argument("--platform", default=None,
+                        help="Force a JAX platform (e.g. 'cpu' — offline "
+                             "prep has no executor isolation; a stalled "
+                             "tunneled-TPU read wedges it for minutes).")
     parser.add_argument("folders", nargs="+",
                         help="Folders containing BCI2000 recording mat files.")
     args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     logging.basicConfig(
         level=logging.INFO,

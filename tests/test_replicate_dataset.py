@@ -85,12 +85,17 @@ def test_speech_day_carries_keyword_audio_and_patterns(tmp_path):
 
     fs, audio = wavfile.read(tmp_path / "KeywordReading_Overt_R01.wav")
     assert fs == 16000
-    # Speech is loud inside trial spans, room tone outside.
+    # Speech is loud inside trial spans (words start 1.5 s in — the
+    # leading-silence shoulder the streaming nVAD needs), room tone
+    # outside.
     _, start, stop = trials[0]
-    span = audio[start * 16: start * 16 + len(bank["enter"])]
+    w0 = start * 16 + int(1.5 * 16000)
+    span = audio[w0: w0 + len(bank["enter"])]
     assert np.abs(span).max() > 8000
     lead = audio[: start * 16 - 16000]
     assert np.abs(lead).max() < 500
+    shoulder = audio[start * 16: w0 - 1600]
+    assert np.abs(shoulder).max() < 500
 
     words, spans, seconds = make_speech_online_session(
         tmp_path, rng, bank, patterns)

@@ -152,7 +152,7 @@ def _keyword_patterns(n_channels: int = 129, seed: int = 999):
 
 
 def _speech_session(rng, seconds: float, spans, words, bank, patterns,
-                    quiet=0.05, loud=3.0):
+                    quiet=0.05, loud=3.0, shoulder=0.0):
     """ECoG [T, 129] + 16 kHz audio + StimulusCode for keyword trials.
 
     Per trial: the keyword wav starts at the span's burst onset; the ECoG
@@ -164,8 +164,15 @@ def _speech_session(rng, seconds: float, spans, words, bank, patterns,
     code = np.zeros(T, np.int16)
     audio = rng.normal(size=T16) * 40.0  # room tone
     env_ch = np.full((T, 129), quiet)
-    for i, ((t0, t1), word) in enumerate(zip(spans, words)):
-        code[int(t0 * FS):int(t1 * FS)] = (i % 2) + 1
+    for i, ((c0, t1), word) in enumerate(zip(spans, words)):
+        code[int(c0 * FS):int(t1 * FS)] = (i % 2) + 1
+        # The word starts ``shoulder`` seconds into its trial span:
+        # leading WITHIN-TRIAL silence teaches the online nVAD to fire
+        # from a carried state that has sat in silence (trained fresh-
+        # state-per-trial only, its recall collapsed 0.90 -> 0.19 on a
+        # continuous stream — the exact condition the closed loop runs
+        # in).
+        t0 = c0 + shoulder
         wav = bank[word]
         a0 = int(t0 * FS_AUDIO)
         n = min(len(wav), T16 - a0)
@@ -197,10 +204,10 @@ def make_speech_keyword_day(day_dir: Path, rng, bank, patterns,
                             reps: int = 2) -> None:
     day_dir.mkdir(parents=True, exist_ok=True)
     words = _KEYWORD_ORDER * reps
-    seconds, code_spans, _ = _trial_layout(len(words), trial_s=3.0,
+    seconds, code_spans, _ = _trial_layout(len(words), trial_s=4.5,
                                            gap_s=1.5, shoulder_s=0.0)
     signal, code, audio = _speech_session(rng, seconds, code_spans, words,
-                                          bank, patterns)
+                                          bank, patterns, shoulder=1.5)
     stimuli = np.array([["Enter", "Right"], ["1", "2"]], dtype=object)
     savemat(str(day_dir / "KeywordReading_Overt_R01.mat"),
             _mat_dict(signal, code, stimuli))
