@@ -201,17 +201,40 @@ def _speech_session(rng, seconds: float, spans, words, bank, patterns,
 
 
 def make_speech_keyword_day(day_dir: Path, rng, bank, patterns,
-                            reps: int = 2) -> None:
+                            reps: int = 2,
+                            tight_dir: Path = None) -> None:
+    """Write a training day; with ``tight_dir``, ALSO write a second .mat
+    over the SAME signal/audio whose StimulusCode spans hug each word
+    (word - 0.5 s .. word end + 0.6 s) — the shape of an online VAD
+    segment.  The nVAD trains on the long-shoulder trials (it needs
+    leading within-trial silence, see _speech_session) while the decoder
+    trains on the tight trials: a decoder trained only on 4.5 s trials
+    measurably collapses on ~1.5 s online segments (12/12-discriminable
+    features scored 4/12 through it; matched-length training is the
+    fix — train/test segment-shape parity, the same constraint the
+    reference system's trial structure implicitly satisfies)."""
     day_dir.mkdir(parents=True, exist_ok=True)
     words = _KEYWORD_ORDER * reps
+    shoulder = 1.5
     seconds, code_spans, _ = _trial_layout(len(words), trial_s=4.5,
                                            gap_s=1.5, shoulder_s=0.0)
     signal, code, audio = _speech_session(rng, seconds, code_spans, words,
-                                          bank, patterns, shoulder=1.5)
+                                          bank, patterns, shoulder=shoulder)
     stimuli = np.array([["Enter", "Right"], ["1", "2"]], dtype=object)
     savemat(str(day_dir / "KeywordReading_Overt_R01.mat"),
             _mat_dict(signal, code, stimuli))
     wavwrite(str(day_dir / "KeywordReading_Overt_R01.wav"), FS_AUDIO, audio)
+    if tight_dir is not None:
+        tight_dir.mkdir(parents=True, exist_ok=True)
+        tcode = np.zeros_like(code)
+        for i, ((c0, _c1), word) in enumerate(zip(code_spans, words)):
+            t0 = c0 + shoulder - 0.5
+            t1 = c0 + shoulder + len(bank[word]) / FS_AUDIO + 0.6
+            tcode[int(t0 * FS):int(t1 * FS)] = (i % 2) + 1
+        savemat(str(tight_dir / "KeywordReading_Overt_R01.mat"),
+                _mat_dict(signal, tcode, stimuli))
+        wavwrite(str(tight_dir / "KeywordReading_Overt_R01.wav"),
+                 FS_AUDIO, audio)
 
 
 def make_speech_online_session(day_dir: Path, rng, bank, patterns,
@@ -312,7 +335,9 @@ def main() -> None:
         patterns = _keyword_patterns()
         for day in DAYS:
             make_speech_keyword_day(base / "KeywordReading" / day, rng,
-                                    bank, patterns, reps=args.reps)
+                                    bank, patterns, reps=args.reps,
+                                    tight_dir=(base / "KeywordReadingTight"
+                                               / day))
             make_syllable_day(base / "SyllableRepetition" / day, rng)
         words, spans, session_s = make_speech_online_session(
             base / "KeywordReading" / "online_sessions" / ONLINE_DAY, rng,

@@ -37,12 +37,20 @@ from scipy.io import wavfile
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def map_segments_to_words(run_dir: str, order: dict):
-    """[(reco_index, word)] for every logged segment whose replay-time
-    midpoint falls inside a word span (spurious segments are skipped but
-    reported)."""
-    spans = [(w["word"], w["t0"], w["t1"]) for w in order["words"]]
+def map_segments_to_words(run_dir: str, order: dict,
+                          max_dist_s: float = 2.0):
+    """[(reco_index, word)] for every logged segment, matched to the word
+    whose span center is CYCLICALLY nearest the segment's replay-time
+    midpoint (mod the session length).  Nearest-center matching rather
+    than strict span containment: looped replay accumulates a small
+    per-loop timing drift (~0.1 s/loop measured — loop-boundary packet
+    quantization in the amplifier), and the VAD smoothing delay offsets
+    segment times by ~0.5 s; word spans are >= 5 s apart, so nearest
+    center is unambiguous.  Segments farther than ``max_dist_s`` from
+    every center are skipped and reported."""
     session_s = float(order["session_seconds"])
+    centers = [(w["word"], (w["t0"] + w["t1"]) / 2.0)
+               for w in order["words"]]
     out, skipped = [], 0
     with open(os.path.join(run_dir, "log.vad.lab")) as fd:
         for i, line in enumerate(fd):
@@ -51,9 +59,15 @@ def map_segments_to_words(run_dir: str, order: dict):
                 continue
             s, e = float(parts[0]), float(parts[1])
             mid = ((s + e) / 2.0) % session_s
-            hit = [w for w, t0, t1 in spans if t0 <= mid <= t1 + 0.6]
-            if hit:
-                out.append((i + 1, hit[0]))
+
+            def cyc(a, b):
+                d = abs(a - b) % session_s
+                return min(d, session_s - d)
+
+            word, dist = min(((w, cyc(mid, c)) for w, c in centers),
+                             key=lambda t: t[1])
+            if dist <= max_dist_s:
+                out.append((i + 1, word))
             else:
                 skipped += 1
     return out, skipped
