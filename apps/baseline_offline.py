@@ -1,9 +1,12 @@
-"""Compute day-specific z-score normalization statistics.
+"""Day-specific z-score statistics for the online decoder.
 
-Parity target: reference baseline_offline.py — reads a SyllableRepetition
-.mat recording, extracts per-trial high-gamma features (with a fresh
-extractor per trial), and stores ``np.vstack([mean, std])`` into
-``<session>/normalization.npy`` for the online system's z-scoring.
+Parity target: reference baseline_offline.py — per-trial high-gamma
+features of one SyllableRepetition recording (fresh extractor per trial,
+trial span padded by 0.04 s), channel mean/std stacked into
+``<session>/normalization.npy`` for the online system's z-scoring.  The
+CLI surface (config INI + --norm/--overwrite) and every on-disk artifact
+(npy layout, ``log.normalization.txt``) match the reference contract;
+the feature compute underneath is the JAX/Pallas pipeline.
 """
 
 import argparse
@@ -12,7 +15,7 @@ import logging
 import os
 import sys
 from datetime import datetime
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -27,49 +30,45 @@ def get_default_session_name() -> str:
     return datetime.now().strftime("%Y_%m_%d")
 
 
-def get_paths(settings_filename: str) -> Tuple[str, str]:
-    settings_config = configparser.ConfigParser()
-    settings_config.read(settings_filename)
+def get_paths(settings_filename: str) -> Tuple[str, Optional[str]]:
+    """(session directory, normalization .mat path or None) from the INI.
 
-    base_path = settings_config.get("Normalization", "base_path")
-    session = settings_config.get("Normalization", "session") or \
-        get_default_session_name()
-    session = os.path.join(base_path, session)
-
-    norm_file = settings_config.get("Normalization", "normalization_file") or None
-    return session, norm_file
+    Empty strings mean "unset" (reference convention); an unset session
+    falls back to today's date.
+    """
+    ini = configparser.ConfigParser()
+    ini.read(settings_filename)
+    sec = ini["Normalization"]
+    session_dir = os.path.join(
+        sec.get("base_path"),
+        sec.get("session") or get_default_session_name())
+    return session_dir, (sec.get("normalization_file") or None)
 
 
 def main(session: str, norm_file: str) -> None:
     from prepare_corpus import get_feature_extractor
 
-    logger.info(f"Processing {norm_file}")
-    mat_file = BCI2000MatFile(mat_filename=norm_file)
-    ecog = mat_file.signals()
+    logger.info(f"Normalization source: {norm_file}")
+    rec = BCI2000MatFile(mat_filename=norm_file)
+    raw = rec.signals()
 
-    if mat_file.bad_channels() is not None:
-        logger.warning(
-            f"Found the following bad channels in the normalization data: "
-            f"{mat_file.bad_channels()}"
-        )
+    bad = rec.bad_channels()
+    if bad is not None:
+        logger.warning(f"Normalization recording marks bad channels {bad}")
 
-    trials = []
-    logger.info("Aggregating trials on which normalization statistics will be computed.")
-    for _, start, stop in mat_file.trial_indices():
-        extractor = get_feature_extractor(mat_file)
-        feats = extractor.extract_features(
-            ecog[start:int(stop + (0.04 * mat_file.fs)), :]
-        )
-        trials.append(feats)
+    pad = int(0.04 * rec.fs)
+    logger.info("Extracting per-trial high-gamma features for the "
+                "channel statistics.")
+    per_trial = [
+        get_feature_extractor(rec).extract_features(raw[start:stop + pad, :])
+        for _, start, stop in rec.trial_indices()
+    ]
 
-    logger.info("Compute normalization statistics.")
-    normalization_data = np.concatenate(trials)
-    mean = np.mean(normalization_data, axis=0)
-    std = np.std(normalization_data, axis=0)
-
-    out_filename = os.path.join(session, "normalization.npy")
-    logger.info(f"Normalization statistics will be stored in {out_filename}")
-    np.save(out_filename, np.vstack([mean, std]))
+    feats = np.concatenate(per_trial)
+    stats = np.vstack([feats.mean(axis=0), feats.std(axis=0)])
+    out_path = os.path.join(session, "normalization.npy")
+    logger.info(f"Writing [mean; std] ({stats.shape}) to {out_path}")
+    np.save(out_path, stats)
 
 
 if __name__ == "__main__":
@@ -89,26 +88,27 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", args.platform)
 
-    session_dir, norm_file = get_paths(settings_filename=args.config)
+    session_dir, norm_file = get_paths(args.config)
     os.makedirs(session_dir, exist_ok=args.overwrite)
+    norm_file = args.norm if args.norm is not None else norm_file
 
-    if args.norm is not None:
-        norm_file = args.norm
-
-    log_filename = os.path.join(session_dir, "log.normalization.txt")
     logging.basicConfig(
         level=logging.INFO,
         format="[%(asctime)s] [%(name)-30s] [%(levelname)8s]: %(message)s",
         datefmt="%d.%m.%y %H:%M:%S",
-        handlers=[logging.FileHandler(log_filename, "w+"),
-                  logging.StreamHandler(sys.stderr)],
+        handlers=[
+            logging.FileHandler(
+                os.path.join(session_dir, "log.normalization.txt"), "w+"),
+            logging.StreamHandler(sys.stderr),
+        ],
     )
 
     if norm_file is None:
-        logger.error("No normalization file provided. Script will exit.")
+        logger.error("No normalization .mat given (INI field empty and no "
+                     "--norm); nothing to do.")
         sys.exit(1)
 
-    overwrite = " --overwrite" if args.overwrite else ""
-    logger.info(f"python baseline_offline.py {args.config} --norm {norm_file}" + overwrite)
-    logger.info(f"Session path: {session_dir}.")
+    logger.info(f"args: config={args.config} norm={norm_file} "
+                f"overwrite={args.overwrite}")
+    logger.info(f"session dir: {session_dir}")
     main(session=session_dir, norm_file=norm_file)

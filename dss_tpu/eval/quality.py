@@ -295,8 +295,12 @@ def keyword_id_report(originals: dict, resyntheses: dict) -> dict:
             if best_other is not None:
                 row["best_other_word"] = best_other
                 row["best_other_d"] = round(others[best_other], 4)
-                row["margin"] = round(others[best_other]
-                                      - dists.get(word, float("nan")), 4)
+                if word in dists:
+                    # Unknown-word rows get no margin key: a NaN here
+                    # would poison np.min/np.median margin summaries
+                    # downstream (advisor r4).
+                    row["margin"] = round(others[best_other]
+                                          - dists[word], 4)
             margins.append(row)
     if total == 0:
         raise ValueError("no resyntheses given")

@@ -1124,8 +1124,12 @@ class FusedDecoderVocoder(Unit):
     def _read_chunk(self, bits, k: int, T: int) -> np.ndarray:
         """Read back tail chunk ``k``, trimmed to the word's valid frames
         (the padded repeat-pad tail is synthesized for state continuity but
-        never shipped)."""
-        valid = min(T - k * self._chunk, self._chunk)
+        never shipped).  Clamped at zero: with length_multiple a multiple
+        of the chunk (100, 150, ...) a short word can end before a tail
+        chunk even starts — that chunk is pure repeat-pad and ships no
+        samples (an unclamped negative stop sliced from the END, emitting
+        a near-full chunk of padded garbage to the loudspeaker)."""
+        valid = max(0, min(T - k * self._chunk, self._chunk))
         return np.asarray(bits).view(np.int16)[: valid * 160]
 
     @subscriber(INPUT)
@@ -1168,6 +1172,8 @@ class FusedDecoderVocoder(Unit):
             audio_k = await loop.run_in_executor(
                 self._executor, self._read_chunk, bits, i, T)
             parts.append(audio_k)
+            if len(audio_k) == 0 and i != len(pending):
+                continue  # all-pad chunk: nothing to ship, no marker due
             if i == len(pending):
                 # Completion marker: the sink aggregates these rows into a
                 # separate word-completion distribution (not the latency
@@ -1196,6 +1202,16 @@ class ShardedFusedDecoderVocoderSettings(Settings):
     # mesh's data-axis size; must be a multiple of it).
     n_devices: int = 0
     streams: int = 0
+    # Per-word segments for the NON-LIVE serve slots: a callable
+    # ``(n_background_slots, live_frames) -> iterable of [T_i, ch]``
+    # float32 arrays (lengths may differ per slot — each slot gets its
+    # own validity mask).  None replays the live segment into every slot
+    # (shape-exercise mode).
+    slot_feeder: Optional[Any] = None
+    # Chunked audio emission on the sharded path too (same 50-frame
+    # head+tail structure as FusedDecoderVocoder; falls back to
+    # single-shot when length_multiple isn't whole synthesis blocks).
+    chunk_emission: bool = True
 
 
 class ShardedFusedDecoderVocoder(Unit):
@@ -1230,8 +1246,8 @@ class ShardedFusedDecoderVocoder(Unit):
 
         from ..parallel import batched_vocoder_sharding, make_mesh
         from ..vocoder.lpcnet import _load_params, _sparse_pattern_of
-        from ..vocoder.net import LPCNetModel, net_synthesize_frames, \
-            net_vocoder_init
+        from ..vocoder.net import COND_BLOCK, LPCNetModel, \
+            net_synthesize_frames, net_vocoder_init
 
         s = self.SETTINGS
         self._model = s.model(**(s.params or {}))
@@ -1269,9 +1285,24 @@ class ShardedFusedDecoderVocoder(Unit):
         use_pallas = jax.default_backend() != "cpu"
         sparse = _sparse_pattern_of(voc_params, use_pallas)
         decoder = self._model
+        self._chunk = COND_BLOCK
+        self._chunked = bool(s.chunk_emission) \
+            and s.length_multiple % COND_BLOCK == 0
+        chunk = self._chunk
 
-        @jax.jit
-        def word_program(dec_params, voc_params, voc_state, x, mask):
+        def pack_audio(pcm):
+            # All slots' audio leaves the device as int16 pairs bitcast
+            # into f32 lanes (same wire format as the single-chip fused
+            # unit): each served stream's PCM must reach the host anyway,
+            # and f32 would double the readback.
+            pcm16 = jnp.clip(pcm * 32767.0, -32768, 32767).astype(jnp.int16)
+            return jax.lax.bitcast_convert_type(
+                pcm16.reshape(pcm.shape[0], -1, 2), jnp.float32)
+
+        def padded_features(dec_params, x, mask):
+            # Per-slot repeat-pad: each slot's own last VALID frame holds
+            # over its padded tail (slots may carry different-length
+            # segments — the mask is per slot).
             pred, _ = decoder.apply(dec_params, x, None, mask=mask)
             nxt = jnp.concatenate(
                 [mask[:, 1:], jnp.zeros_like(mask[:, :1])], axis=1)
@@ -1279,12 +1310,42 @@ class ShardedFusedDecoderVocoder(Unit):
             last_frame = jnp.einsum("bt,btf->bf", last_ind, pred)
             feats = pred * mask[..., None] \
                 + last_frame[:, None, :] * (1.0 - mask[..., None])
+            return pred, feats
+
+        @jax.jit
+        def word_program(dec_params, voc_params, voc_state, x, mask):
+            pred, feats = padded_features(dec_params, x, mask)
             pcm, voc_state = net_synthesize_frames(
                 voc_model, voc_params, voc_state, feats,
                 use_pallas=use_pallas, sparse_pattern=sparse)
-            return pred, pcm, voc_state
+            # Slot 0 is the live closed-loop stream: only its LPC is
+            # logged; every slot's audio ships.
+            return pred[0], pack_audio(pcm), voc_state
+
+        @jax.jit
+        def head_program(dec_params, voc_params, voc_state, x, mask):
+            pred, feats = padded_features(dec_params, x, mask)
+            pcm, voc_state = net_synthesize_frames(
+                voc_model, voc_params, voc_state, feats[:, :chunk],
+                use_pallas=use_pallas, sparse_pattern=sparse)
+            return pred[0], pack_audio(pcm), feats, voc_state
+
+        @jax.jit
+        def tail_program(voc_params, voc_state, feats, k):
+            fch = jax.lax.dynamic_slice(
+                feats, (0, k * chunk, 0),
+                (feats.shape[0], chunk, feats.shape[2]))
+            pcm, voc_state = net_synthesize_frames(
+                voc_model, voc_params, voc_state, fch,
+                use_pallas=use_pallas, sparse_pattern=sparse)
+            return pack_audio(pcm), voc_state
 
         self._program = word_program
+        self._head = head_program
+        self._tail = tail_program
+        # Last word's background-slot audio (slot index 1.. -> int16
+        # array), the serving tap tests and downstream consumers read.
+        self.slot_audio: dict = {}
         electrodes = self._model.nb_electrodes
         self._warm(2 * s.length_multiple, electrodes)
         from concurrent.futures import ThreadPoolExecutor
@@ -1317,33 +1378,98 @@ class ShardedFusedDecoderVocoder(Unit):
             self._mesh, jax.tree.map(np.asarray, self._voc_state), x)
         mb = shard_batch(self._mesh, mask)
         with self._mesh:
-            pred, pcm, _ = self._program(
-                self._dec_params, self._voc_params, state, xb, mb)
-        np.asarray(pcm)
+            if self._chunked:
+                _pred, bits, feats, st = self._head(
+                    self._dec_params, self._voc_params, state, xb, mb)
+                if n_frames > self._chunk:
+                    bits, st = self._tail(self._voc_params, st, feats,
+                                          jnp.int32(1))
+                np.asarray(bits)
+            else:
+                _pred, bits, _ = self._program(
+                    self._dec_params, self._voc_params, state, xb, mb)
+                np.asarray(bits)
 
     def shutdown(self) -> None:
         self._executor.shutdown(wait=True)
 
-    def _decode_and_vocode(self, data: np.ndarray):
+    def _batch_slots(self, data: np.ndarray):
+        """Per-slot segments -> padded batch.  Slot 0 carries the live
+        stream; non-live slots come from ``slot_feeder`` (distinct streams
+        with their own lengths/masks) or replay the live segment."""
         from ..parallel import shard_batch
 
-        T = len(data)
+        feeder = self.SETTINGS.slot_feeder
+        if feeder is None:
+            segs = [data] * self._streams
+        else:
+            segs = [data] + [np.asarray(b, np.float32)
+                             for b in feeder(self._streams - 1, len(data))]
+            if len(segs) != self._streams:
+                raise ValueError(
+                    f"slot_feeder yielded {len(segs) - 1} segments for "
+                    f"{self._streams - 1} background slots")
+        Ts = [len(s) for s in segs]
         mult = self.SETTINGS.length_multiple
-        Tp = -(-T // mult) * mult
+        Tp = -(-max(Ts) // mult) * mult
         x = np.zeros((self._streams, Tp, data.shape[1]), np.float32)
-        x[:, :T] = data[None]
         mask = np.zeros((self._streams, Tp), np.float32)
-        mask[:, :T] = 1.0
+        for i, seg in enumerate(segs):
+            x[i, :Ts[i]] = seg
+            mask[i, :Ts[i]] = 1.0
         xb, mb = shard_batch(self._mesh, x, mask)
+        return Ts, Tp, xb, mb
+
+    @staticmethod
+    def _unpack_slots(bits, Ts, lo_frame: int, chunk_frames: int):
+        """int16 audio per slot from the packed readback, each trimmed to
+        its own word length (clamped: an all-pad chunk ships nothing)."""
+        pcm = np.asarray(bits).view(np.int16).reshape(len(Ts), -1)
+        out = []
+        for i, T in enumerate(Ts):
+            valid = max(0, min(T - lo_frame, chunk_frames))
+            out.append(pcm[i, : valid * 160])
+        return out
+
+    def _decode_and_vocode(self, data: np.ndarray):
+        Ts, Tp, xb, mb = self._batch_slots(data)
         with self._mesh:
-            pred, pcm, self._voc_state = self._program(
+            pred0, bits, self._voc_state = self._program(
                 self._dec_params, self._voc_params, self._voc_state,
                 xb, mb)
-        lpc = np.asarray(pred[0])[:T]
-        audio = np.clip(np.asarray(pcm[0]) * 32767.0,
-                        -32768, 32767).astype(np.int16)[: T * 160]
+        slots = self._unpack_slots(bits, Ts, 0, Tp)
+        lpc = np.asarray(pred0)[: Ts[0]]
+        self.slot_audio = {i: a for i, a in enumerate(slots) if i > 0}
         self._t_device_done = time.time()
-        return lpc, audio
+        return lpc, slots[0]
+
+    def _decode_head(self, data: np.ndarray):
+        """Chunked word start on the sharded path: head program (decode all
+        slots + every slot's first chunk), eagerly dispatched tails, one
+        packed readback on the first-audio critical path."""
+        Ts, Tp, xb, mb = self._batch_slots(data)
+        with self._mesh:
+            pred0, bits, feats, st = self._head(
+                self._dec_params, self._voc_params, self._voc_state,
+                xb, mb)
+            pending = []
+            for k in range(1, Tp // self._chunk):
+                bits_k, st = self._tail(self._voc_params, st, feats,
+                                        jnp.int32(k))
+                pending.append(bits_k)
+        self._voc_state = st
+        slots = self._unpack_slots(bits, Ts, 0, self._chunk)
+        lpc = np.asarray(pred0)[: Ts[0]]
+        self._bg_parts = {i: [a] for i, a in enumerate(slots) if i > 0}
+        self._t_device_done = time.time()
+        return lpc, slots[0], pending, Ts
+
+    def _read_chunk(self, bits, k: int, Ts) -> np.ndarray:
+        slots = self._unpack_slots(bits, Ts, k * self._chunk, self._chunk)
+        for i, a in enumerate(slots):
+            if i > 0 and len(a):
+                self._bg_parts[i].append(a)
+        return slots[0]
 
     @subscriber(INPUT)
     @publisher(LPC)
@@ -1352,16 +1478,48 @@ class ShardedFusedDecoderVocoder(Unit):
     async def decode(self, msg: TimeSeriesMessage) -> AsyncGenerator:
         import asyncio
 
+        loop = asyncio.get_running_loop()
         data = np.asarray(msg.data, np.float32)
         t_dispatch = time.time()
-        lpc, audio = await asyncio.get_running_loop().run_in_executor(
-            self._executor, self._decode_and_vocode, data
+        if not self._chunked:
+            lpc, audio = await loop.run_in_executor(
+                self._executor, self._decode_and_vocode, data
+            )
+            stamps = (("dv_dispatch", t_dispatch),
+                      ("dv_device_done", self._t_device_done))
+            yield self.LPC, replace(msg, data=lpc, fs=100)
+            yield self.OUTPUT, _with_stamps(msg, stamps, data=audio,
+                                            fs=16000)
+            yield self.WORD, _anonymize(msg, data=audio, fs=16000)
+            return
+
+        lpc, audio0, pending, Ts = await loop.run_in_executor(
+            self._executor, self._decode_head, data
         )
         stamps = (("dv_dispatch", t_dispatch),
                   ("dv_device_done", self._t_device_done))
         yield self.LPC, replace(msg, data=lpc, fs=100)
-        yield self.OUTPUT, _with_stamps(msg, stamps, data=audio, fs=16000)
-        yield self.WORD, _anonymize(msg, data=audio, fs=16000)
+        yield self.OUTPUT, _with_stamps(msg, stamps, data=audio0, fs=16000)
+        parts = [audio0]
+        for i, bits in enumerate(pending, start=1):
+            audio_k = await loop.run_in_executor(
+                self._executor, self._read_chunk, bits, i, Ts)
+            parts.append(audio_k)
+            if len(audio_k) == 0 and i != len(pending):
+                continue
+            if i == len(pending):
+                out = _with_stamps(
+                    msg, (("dv_dispatch", t_dispatch),
+                          ("dv_word_complete", time.time())),
+                    data=audio_k, fs=16000)
+            else:
+                out = _anonymize(msg, data=audio_k, fs=16000)
+            yield self.OUTPUT, out
+        word = np.concatenate(parts) if len(parts) > 1 else audio0
+        self.slot_audio = {i: np.concatenate(p) if len(p) > 1 else p[0]
+                           for i, p in getattr(self, "_bg_parts",
+                                               {}).items()}
+        yield self.WORD, _anonymize(msg, data=word, fs=16000)
 # endregion
 
 

@@ -156,7 +156,8 @@ def main() -> None:
 
     report = keyword_id_report(originals, resyntheses)
     acc = report["accuracy"]
-    margin_vals = [m["margin"] for m in report["margins"] if "margin" in m]
+    margin_vals = [m["margin"] for m in report["margins"]
+                   if np.isfinite(m.get("margin", np.nan))]
     out = {
         "keyword_id_accuracy": round(acc, 4),
         "confusion": report["confusion"],

@@ -189,6 +189,67 @@ def test_chunked_emission_bitexact_vs_single_shot(tmp_path):
         u.shutdown()
 
 
+def test_chunked_emission_bitexact_mult100_short_word(tmp_path):
+    """length_multiple=100 (a value bucket_sweep recommends and the
+    ``% COND_BLOCK == 0`` gate admits) with words ending BEFORE a tail
+    chunk boundary: the all-pad tail chunks must ship zero samples.  An
+    unclamped ``T - k*chunk`` went negative here and the slice-from-the-
+    end emitted a near-full chunk of padded garbage (advisor r4)."""
+    import asyncio
+    import time as _time
+
+    from dss_tpu.runtime.messages import ClosedLoopMessage
+
+    w = _small_voc_npz(tmp_path)
+
+    def mk(chunked):
+        unit = FusedDecoderVocoder()
+        unit.apply_settings(FusedDecoderVocoderSettings(
+            path_to_model_weights=None,
+            model=BidirectionalSpeechSynthesisModel,
+            params=DEC, vocoder_backend="net", vocoder_weights=w,
+            length_multiple=100, prewarm_frames=(),
+            chunk_emission=chunked,
+        ))
+        unit.initialize()
+        return unit
+
+    chunked, single = mk(True), mk(False)
+    assert chunked._chunked
+    rng = np.random.default_rng(11)
+    # T=40 < chunk: tail chunk k=1 of the 100-bucket is pure repeat-pad.
+    # T=60: tail chunk is partially valid. T=130: 200-bucket, chunk k=3
+    # all-pad. All must match single-shot bit-exactly.
+    for T in (40, 60, 130):
+        segment = rng.normal(size=(T, 8)).astype(np.float32)
+        lpc_c, audio0, pending, Tc = chunked._decode_head(segment)
+        parts = [audio0] + [chunked._read_chunk(b, k, Tc)
+                            for k, b in enumerate(pending, start=1)]
+        audio_chunked = np.concatenate(parts)
+        lpc_s, audio_single = single._decode_and_vocode(segment)
+        np.testing.assert_allclose(lpc_c, lpc_s, atol=0)
+        np.testing.assert_array_equal(audio_chunked, audio_single)
+        assert len(audio_chunked) == T * 160
+
+    # Message flow for the short word: completion marker still arrives
+    # (possibly with zero samples) and byte accounting holds.
+    msg = ClosedLoopMessage(data=rng.normal(size=(40, 8)).astype(np.float32),
+                            fs=100, received_at=_time.time(),
+                            previous_frames=0)
+
+    async def run():
+        return [(p, m) async for p, m in chunked.decode(msg)]
+
+    out = asyncio.run(run())
+    chunk_msgs = [m for p, m in out if p == chunked.OUTPUT]
+    assert any(any(n == "dv_word_complete" for n, _ in m.stamps)
+               for m in chunk_msgs)
+    total = sum(len(m.data) for m in chunk_msgs)
+    assert total == 40 * 160
+    for u in (chunked, single):
+        u.shutdown()
+
+
 def test_chunked_emission_message_flow(tmp_path):
     """decode() publishes: LPC once; in-order audio chunks on OUTPUT where
     only the FIRST carries latency stamps and the LAST carries the

@@ -113,7 +113,8 @@ def score_against(templates_dir: str, rendered: dict) -> dict:
                 stois.append(stoi(ref[:n], syn[:n]))
             except ValueError:
                 pass
-    margins = [m["margin"] for m in report["margins"] if "margin" in m]
+    margins = [m["margin"] for m in report["margins"]
+               if np.isfinite(m.get("margin", np.nan))]
     return {
         "keyword_id_accuracy": round(report["accuracy"], 4),
         "n": int(sum(len(v) for v in rendered.values())),
