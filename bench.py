@@ -338,15 +338,23 @@ def _bench_latency(iters: int = 50) -> float:
                          - np.percentile(times, 25))}
 
 
-def _bench_hga_offline(seconds: int = 60, iters: int = 5) -> list:
+def _bench_hga_offline(seconds: int = 60, iters: int = 5,
+                       chain: int = 5, chain_reps: int = 5) -> dict:
     """Offline trial throughput (samples/sec) through the O(log T)
     modal-basis parallel filter + fused framing — the batch/corpus path.
-    Returns one samples/sec reading per rep (dispersion matters here: the
-    r2 88k-vs-115k run-to-run gap was tunnel variance on single reps)."""
+
+    Two estimators (VERDICT r4 item 6): ``wall`` includes the 60 s
+    host->device transfer each call — on the tunneled backend that term
+    is weather (18-117% spread across rounds) — while ``device`` chains
+    the jitted program with device-resident input (filter state fed back
+    serializes the chain) and reports the marginal per-call rate, the
+    same subtraction the vocoder RTF uses, so rounds can be compared."""
     import jax
     import jax.numpy as jnp
 
     from dss_tpu.ops import HighGammaExtractor
+    from dss_tpu.ops.filters import sosfilt_parallel
+    from dss_tpu.ops.hga import log_power_frames
 
     ex = HighGammaExtractor(fs=1000, nb_electrodes=64, parallel_filter=True)
     rng = np.random.default_rng(0)
@@ -354,16 +362,47 @@ def _bench_hga_offline(seconds: int = 60, iters: int = 5) -> list:
 
     _log("hga-offline: compiling...")
     ex.extract_features(data)  # compiles filter + framing
-    reps = []
+    wall = []
     for _ in range(iters):
         ex.reset()
         t0 = time.perf_counter()
         ex.extract_features(data)
-        reps.append(data.shape[0] / (time.perf_counter() - t0))
-    sps = max(reps)
+        wall.append(data.shape[0] / (time.perf_counter() - t0))
+    sps = max(wall)
     _log(f"hga-offline: {sps:.0f} samples/s best of {iters} "
-         f"({sps / 1000:.0f}x realtime; median {np.median(reps):.0f})")
-    return reps
+         f"({sps / 1000:.0f}x realtime; median {np.median(wall):.0f}) "
+         f"[wall, incl transfer]")
+
+    sos = ex.sos  # concrete design-time array (sosfilt_parallel contract)
+    zi0 = jnp.asarray(ex._zi0, jnp.float32)
+    dd = jnp.asarray(np.asarray(data, np.float32))
+
+    @jax.jit
+    def prog(d, zi):
+        filtered, zi = sosfilt_parallel(sos, d, zi)
+        return log_power_frames(filtered, 1000, 0.05, 0.01), zi
+
+    feats, zi = prog(dd, zi0)
+    _sync(feats)
+    t_single = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        feats, _ = prog(dd, zi0)
+        _sync(feats)
+        t_single = min(t_single, time.perf_counter() - t0)
+    device = []
+    for _ in range(chain_reps):
+        zi = zi0
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            feats, zi = prog(dd, zi)
+        _sync(feats)
+        t_chain = time.perf_counter() - t0
+        device.append(data.shape[0] * (chain - 1)
+                      / max(t_chain - t_single, 1e-9))
+    _log(f"hga-offline device: median {np.median(device):.0f} samples/s "
+         f"(chain {chain}, t_single {t_single * 1e3:.1f} ms)")
+    return {"wall": wall, "device": device}
 
 
 def _bench_segment_path(frames: int = 300) -> dict:
@@ -843,10 +882,17 @@ def main() -> None:
             round(best64["membw_util"], 5)
 
     _PARTIAL["extra"]["hga_frames_per_sec"] = round(_bench_hga(), 1)
-    sps_reps = _bench_hga_offline()
-    sps = max(sps_reps)
+    hga_off = _bench_hga_offline()
+    sps = max(hga_off["wall"])
     _PARTIAL["extra"]["hga_offline_samples_per_sec"] = round(sps, 1)
-    _dispersion("hga_offline_samples_per_sec", sps_reps, _PARTIAL["extra"])
+    _dispersion("hga_offline_samples_per_sec", hga_off["wall"],
+                _PARTIAL["extra"])
+    # Weather-free device-time estimator (r4 item 6) — the cross-round
+    # comparison metric for the frontend.
+    _PARTIAL["extra"]["hga_offline_samples_per_sec_device"] = \
+        round(float(np.median(hga_off["device"])), 1)
+    _dispersion("hga_offline_samples_per_sec_device", hga_off["device"],
+                _PARTIAL["extra"])
     peaks = _peaks()
     if peaks:
         # Front-end roofline (wall-clock based, so conservative): per

@@ -54,6 +54,29 @@ VOWEL_TARGETS = {
     "ER": (474, 1379, 1710),
 }
 
+# Hillenbrand et al. (1995), women: a SECOND f0/formant register for the
+# out-of-family eval (VERDICT r4 item 4) — approximate steady-state means
+# from the same study's female speakers, nothing shared with the training
+# generator's single-speaker tables.
+VOWEL_TARGETS_FEMALE = {
+    "IY": (437, 2761, 3372),
+    "IH": (483, 2365, 3053),
+    "EH": (731, 2058, 2979),
+    "AE": (669, 2349, 2972),
+    "AH": (753, 1426, 2933),
+    "AA": (936, 1551, 2815),
+    "AO": (781, 1136, 2824),
+    "UH": (519, 1225, 2827),
+    "UW": (459, 1105, 2735),
+    "ER": (523, 1588, 1929),
+}
+
+# (vowel table, sonorant/voice-bar formant scale, base f0 Hz)
+REGISTERS = {
+    "male": (VOWEL_TARGETS, 1.0, 112.0),
+    "female": (VOWEL_TARGETS_FEMALE, 1.17, 205.0),
+}
+
 # Diphthongs as start/end vowel target pairs (Hillenbrand's /ai/, /au/ style
 # trajectories approximated by endpoint interpolation).
 DIPHTHONG_TRAJ = {
@@ -186,9 +209,14 @@ def _fade(n: int, up: int, down: int) -> np.ndarray:
 
 
 def synth_word_hnm(phones, rng: np.random.Generator,
-                   f0: float = 118.0) -> np.ndarray:
+                   f0: float = 118.0,
+                   register: str = "male") -> np.ndarray:
     """Render one word: per-phone segments, formant targets interpolated
-    through voiced spans, declining F0 contour, HNM rendering."""
+    through voiced spans, declining F0 contour, HNM rendering.
+
+    ``register`` selects the vowel-target table + sonorant formant scale
+    (REGISTERS); callers set the matching f0."""
+    vowels, son_scale, _ = REGISTERS[register]
     segs = []
     n_ph = len(phones)
     # Per-phone targets and durations.
@@ -209,18 +237,18 @@ def synth_word_hnm(phones, rng: np.random.Generator,
         nfr = max(n // 80, 2)
         f0_tr = np.linspace(f0_a, f0_b, nfr)
 
-        if ph in VOWEL_TARGETS or ph in DIPHTHONG_TRAJ \
+        if ph in vowels or ph in DIPHTHONG_TRAJ \
                 or ph in SONORANT_TARGETS:
             if ph in DIPHTHONG_TRAJ:
                 a, b = DIPHTHONG_TRAJ[ph]
-                fa, fb = VOWEL_TARGETS[a], VOWEL_TARGETS[b]
+                fa, fb = vowels[a], vowels[b]
                 scale = 1.0
-            elif ph in VOWEL_TARGETS:
-                fa = fb = VOWEL_TARGETS[ph]
+            elif ph in vowels:
+                fa = fb = vowels[ph]
                 scale = 1.0
             else:
                 t = SONORANT_TARGETS[ph]
-                fa = fb = t[:3]
+                fa = fb = tuple(f * son_scale for f in t[:3])
                 scale = t[3]
             track = [np.linspace(fa[k], fb[k], nfr) for k in range(3)]
             seg = _harmonics(n, f0_tr, track, np.full(nfr, 1.0))
@@ -242,8 +270,9 @@ def synth_word_hnm(phones, rng: np.random.Generator,
                 burst *= _fade(len(burst), n // 6, n // 6)
                 seg = np.concatenate([np.zeros(nc), burst])
             if voiced:  # voice bar
-                bar_tr = [np.full(nfr, 250.0), np.full(nfr, 1200.0),
-                          np.full(nfr, 2400.0)]
+                bar_tr = [np.full(nfr, 250.0 * son_scale),
+                          np.full(nfr, 1200.0 * son_scale),
+                          np.full(nfr, 2400.0 * son_scale)]
                 bar = _harmonics(n, f0_tr * 0.95, bar_tr,
                                  np.full(nfr, 1.0))[:len(seg)]
                 seg = seg + 0.22 * bar / (np.max(np.abs(bar)) + 1e-9)
@@ -261,11 +290,13 @@ def _room_tone(n: int, rng: np.random.Generator) -> np.ndarray:
 
 
 def render_utterance(words, rng: np.random.Generator,
-                     f0: float = 118.0) -> np.ndarray:
+                     f0: float = 118.0,
+                     register: str = "male") -> np.ndarray:
     parts = [_room_tone(int(0.22 * SR), rng)]
     for w in words:
-        parts.append(synth_word_hnm(w, rng, f0=f0 * (0.96
-                                                     + 0.08 * rng.random())))
+        parts.append(synth_word_hnm(w, rng,
+                                    f0=f0 * (0.96 + 0.08 * rng.random()),
+                                    register=register))
         parts.append(_room_tone(int((0.14 + 0.1 * rng.random()) * SR), rng))
     audio = np.concatenate(parts)
     # Ride the -60 dBFS room tone under everything: digital-zero stop
@@ -288,31 +319,48 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/hnm_corpus")
     ap.add_argument("--seed", type=int, default=20260820)
     ap.add_argument("--variants", type=int, default=2,
-                    help="prosodic variants per keyword")
+                    help="prosodic variants per keyword (per register)")
     ap.add_argument("--sentences", type=int, default=4)
+    ap.add_argument("--registers", default="male",
+                    help="comma-separated REGISTERS subset; 'male,female' "
+                         "doubles the keyword set with the women's "
+                         "Hillenbrand targets at ~205 Hz (the second f0 "
+                         "register the r4 out-of-family eval lacked). "
+                         "Default 'male' keeps prior seeds byte-stable.")
     args = ap.parse_args()
+
+    regs = [r.strip() for r in args.registers.split(",") if r.strip()]
+    unknown = set(regs) - set(REGISTERS)
+    if unknown:
+        raise SystemExit(f"unknown registers: {sorted(unknown)}")
 
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out, exist_ok=True)
     n_files = 0
-    for word, phones in WORDS.items():
-        for v in range(args.variants):
-            f0 = 112.0 + 14.0 * v + 4.0 * rng.random()
-            audio = render_utterance([phones], rng, f0=f0)
-            write_wav(os.path.join(args.out, f"kw_{word}_{v}.wav"), audio)
-            n_files += 1
+    for r_idx, reg in enumerate(regs):
+        _, _, f0_base = REGISTERS[reg]
+        for word, phones in WORDS.items():
+            for v in range(args.variants):
+                f0 = f0_base + 14.0 * v + 4.0 * rng.random()
+                audio = render_utterance([phones], rng, f0=f0,
+                                         register=reg)
+                write_wav(os.path.join(
+                    args.out,
+                    f"kw_{word}_{r_idx * args.variants + v}.wav"), audio)
+                n_files += 1
     for sidx in range(args.sentences):
         n_words = 3 + int(rng.integers(0, 3))
         ws = [FILLER_WORDS[int(rng.integers(0, len(FILLER_WORDS)))]
               for _ in range(n_words)]
         ws.insert(int(rng.integers(0, n_words)),
                   list(WORDS.values())[sidx % len(WORDS)])
-        audio = render_utterance(ws, rng)
+        audio = render_utterance(ws, rng, register=regs[0])
         write_wav(os.path.join(args.out, f"sentence_{sidx}.wav"), audio)
         n_files += 1
     print(f"wrote {n_files} wavs to {args.out} "
-          f"({len(WORDS)}x{args.variants} keywords + {args.sentences} "
-          f"sentences; harmonic-plus-noise, Hillenbrand-1995 targets)")
+          f"({len(WORDS)}x{args.variants}x{len(regs)} keywords "
+          f"[{','.join(regs)}] + {args.sentences} sentences; "
+          f"harmonic-plus-noise, Hillenbrand-1995 targets)")
 
 
 if __name__ == "__main__":
