@@ -339,7 +339,9 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                     pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
                 )
                 u = bits24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
-                gumbel_s[...] = -jnp.log(-jnp.log(u))
+                # Tail cap: see vocoder/net.py NOISE_CAP (kills the rare
+                # huge draws that crackle through post-speech silence).
+                gumbel_s[...] = jnp.minimum(-jnp.log(-jnp.log(u)), 8.0)
 
         cond = cond_ref[0]          # [B, cond_dim]
         lpc = lpc_ref[0]            # [B, lpc_order]
@@ -516,7 +518,7 @@ def _make_kernel(frame_size: int, lpc_order: int, gru_a: int, gru_b: int,
                         pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
                     )
                     u = bits24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
-                    gumbel = -jnp.log(-jnp.log(u))
+                    gumbel = jnp.minimum(-jnp.log(-jnp.log(u)), 8.0)
                 scores = jnp.where(greedy, logits, logits * temp + gumbel)
             else:
                 scores = logits
@@ -945,7 +947,7 @@ def _make_bunched_kernel(frame_size: int, lpc_order: int, gru_a: int,
                 pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
             )
             u = bits24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
-            gumbel = -jnp.log(-jnp.log(u))
+            gumbel = jnp.minimum(-jnp.log(-jnp.log(u)), 8.0)
             return jnp.where(greedy, logits, logits * temp + gumbel)
 
         def step(i, _):

@@ -859,6 +859,11 @@ class FusedDecoderVocoderSettings(Settings):
     # Requires length_multiple % 50 == 0 (falls back to single-shot
     # otherwise).
     chunk_emission: bool = True
+    # Online anti-crackle squelch: energy-gated sampling sharpening in
+    # frames whose conditioning says quiet (vocoder/net.py QUIET_C0).
+    # Decoder-smoothed silence otherwise ignites AR crackle bursts at a
+    # ~40% per-word rate; offline/gate scoring keeps it off.
+    quiet_sharpen: bool = True
 
 
 class FusedDecoderVocoder(Unit):
@@ -964,6 +969,7 @@ class FusedDecoderVocoder(Unit):
                 pcm, voc_state = net_synthesize_frames(
                     voc_model, voc_params, voc_state, feats,
                     use_pallas=use_pallas, sparse_pattern=sparse,
+                quiet_sharpen=s.quiet_sharpen,
                 )
                 packed = jnp.concatenate([pred.reshape(-1),
                                           pack_audio(pcm)])
@@ -979,6 +985,7 @@ class FusedDecoderVocoder(Unit):
                 pcm, voc_state = net_synthesize_frames(
                     voc_model, voc_params, voc_state, feats[:, :chunk],
                     use_pallas=use_pallas, sparse_pattern=sparse,
+                quiet_sharpen=s.quiet_sharpen,
                 )
                 packed = jnp.concatenate([pred.reshape(-1),
                                           pack_audio(pcm)])
@@ -995,6 +1002,7 @@ class FusedDecoderVocoder(Unit):
                 pcm, voc_state = net_synthesize_frames(
                     voc_model, voc_params, voc_state, fch,
                     use_pallas=use_pallas, sparse_pattern=sparse,
+                quiet_sharpen=s.quiet_sharpen,
                 )
                 return pack_audio(pcm), voc_state
 
@@ -1212,6 +1220,8 @@ class ShardedFusedDecoderVocoderSettings(Settings):
     # head+tail structure as FusedDecoderVocoder; falls back to
     # single-shot when length_multiple isn't whole synthesis blocks).
     chunk_emission: bool = True
+    # Online anti-crackle squelch (see FusedDecoderVocoderSettings).
+    quiet_sharpen: bool = True
 
 
 class ShardedFusedDecoderVocoder(Unit):
@@ -1317,7 +1327,8 @@ class ShardedFusedDecoderVocoder(Unit):
             pred, feats = padded_features(dec_params, x, mask)
             pcm, voc_state = net_synthesize_frames(
                 voc_model, voc_params, voc_state, feats,
-                use_pallas=use_pallas, sparse_pattern=sparse)
+                use_pallas=use_pallas, sparse_pattern=sparse,
+                quiet_sharpen=s.quiet_sharpen)
             # Slot 0 is the live closed-loop stream: only its LPC is
             # logged; every slot's audio ships.
             return pred[0], pack_audio(pcm), voc_state
@@ -1327,7 +1338,8 @@ class ShardedFusedDecoderVocoder(Unit):
             pred, feats = padded_features(dec_params, x, mask)
             pcm, voc_state = net_synthesize_frames(
                 voc_model, voc_params, voc_state, feats[:, :chunk],
-                use_pallas=use_pallas, sparse_pattern=sparse)
+                use_pallas=use_pallas, sparse_pattern=sparse,
+                quiet_sharpen=s.quiet_sharpen)
             return pred[0], pack_audio(pcm), feats, voc_state
 
         @jax.jit
@@ -1337,7 +1349,8 @@ class ShardedFusedDecoderVocoder(Unit):
                 (feats.shape[0], chunk, feats.shape[2]))
             pcm, voc_state = net_synthesize_frames(
                 voc_model, voc_params, voc_state, fch,
-                use_pallas=use_pallas, sparse_pattern=sparse)
+                use_pallas=use_pallas, sparse_pattern=sparse,
+                quiet_sharpen=s.quiet_sharpen)
             return pack_audio(pcm), voc_state
 
         self._program = word_program

@@ -329,14 +329,37 @@ def net_vocoder_init(model: LPCNetModel, batch: int, seed: int = 0
 COND_BLOCK = 50
 DEEMPH_BLOCK = COND_BLOCK * FRAME_SIZE
 
+# Gumbel tail cap for the mu-law excitation sampler.  An uncapped Gumbel
+# draw reaches +10..16 once per ~10^5..10^7 lane-samples; in near-silence
+# (logit gaps ~8-13 after pitch-corr sharpening) such a draw picks a
+# far-off excitation level whose pulse re-excites the autoregressive
+# loop, audible as 0.1 s crackle bursts riding post-speech silence
+# (measured in closed-loop recos: 0.02 mean|x| vs the 0.0004 mu-law
+# quantization floor).  Capping at +8 forbids only picks whose
+# probability ratio is < e^-8/temp — upstream LPCNet's probability-floor
+# trick (subtract-and-renormalize over the softmax) exists for exactly
+# this failure mode; the cap is its Gumbel-argmax equivalent and costs
+# nothing on the sampler's serial chain (noise prep is off-chain).
+NOISE_CAP = 8.0
+
+# Energy-gated sampling sharpening (see the temperature derivation in
+# net_synthesize_frames): frames whose Bark-cepstral c0 is below QUIET_C0
+# sample at temperature scaled by 1 + (QUIET_C0 - c0) * QUIET_GAIN.
+# Speech frames in the deployed corpora run c0 ~ -12..0; room-tone floors
+# sit at -18..-21, where this reaches ~4-5x (near-greedy, stable).
+QUIET_C0 = -12.0
+QUIET_GAIN = 0.5
+
 
 @partial(jax.jit, static_argnames=("model", "use_pallas", "sparse_pattern",
-                                   "temperature_scale", "greedy"))
+                                   "temperature_scale", "greedy",
+                                   "quiet_sharpen"))
 def net_synthesize_frames(model: LPCNetModel, params,
                           state: NetVocoderState, features: jnp.ndarray,
                           use_pallas: bool = False, sparse_pattern=None,
                           temperature_scale: float = 1.0,
-                          greedy: bool = False):
+                          greedy: bool = False,
+                          quiet_sharpen: bool = False):
     """features [B, T, 20] -> (pcm [B, T*160] in [-1,1], new state).
 
     sparse_pattern: static GRU-A tile keep-pattern (see
@@ -393,6 +416,24 @@ def net_synthesize_frames(model: LPCNetModel, params,
         else:
             # Sharper when voiced (pitch-correlation-dependent, as LPCNet).
             temperature = ((1.0 + 1.5 * corr) * temperature_scale)[..., None]
+            if quiet_sharpen:
+                # ONLINE squelch (opt-in; the streaming units enable it):
+                # ALSO sharper when the conditioning itself says quiet.
+                # On closed-loop DECODED features — whose "silence" is
+                # smoother than any training silence — the sampler sits
+                # near a regime where noise occasionally ignites a
+                # sustained AR limit cycle: 0.1 s crackle bursts riding
+                # post-speech silence at a ~40% per-word rate, on BOTH
+                # the scan and Pallas paths (isolated by a 5-seed A/B).
+                # Energy-gated sharpening starves the oscillation exactly
+                # where the features prescribe quiet.  OFF by default:
+                # in-family encoder features put genuine low-energy
+                # speech (fricative tails, c0 -21..-16) in the same band,
+                # and throttling their noise excitation costs ~1-3 dB
+                # roundtrip CD on trained material.
+                quiet = jnp.maximum(0.0,
+                                    (QUIET_C0 - feats[..., 0]) * QUIET_GAIN)
+                temperature = temperature * (1.0 + quiet)[..., None]
 
         if use_pallas and model.bunch > 1:
             from ..ops.pallas.sampler import sampler_frames_bunched_pallas
@@ -417,8 +458,9 @@ def net_synthesize_frames(model: LPCNetModel, params,
         elif model.bunch > 1:
             S = model.bunch
             steps = FRAME_SIZE // S
-            gumbel = jax.vmap(lambda k: jax.random.gumbel(
-                k, (steps, B, S, MULAW_LEVELS), jnp.float32))(keys)
+            gumbel = jnp.minimum(jax.vmap(lambda k: jax.random.gumbel(
+                k, (steps, B, S, MULAW_LEVELS), jnp.float32))(keys),
+                NOISE_CAP)
 
             def frame_body(carry, frame_in):
                 cond_t, lpc_t, gumbel_t, temp_t = frame_in
@@ -444,8 +486,9 @@ def net_synthesize_frames(model: LPCNetModel, params,
             # [L, steps, B, S] -> [B, L*steps*S]
             sig = jnp.moveaxis(sig, 2, 0).reshape(B, L * FRAME_SIZE)
         else:
-            gumbel = jax.vmap(lambda k: jax.random.gumbel(
-                k, (FRAME_SIZE, B, MULAW_LEVELS), jnp.float32))(keys)
+            gumbel = jnp.minimum(jax.vmap(lambda k: jax.random.gumbel(
+                k, (FRAME_SIZE, B, MULAW_LEVELS), jnp.float32))(keys),
+                NOISE_CAP)
 
             def frame_body(carry, frame_in):
                 cond_t, lpc_t, gumbel_t, temp_t = frame_in

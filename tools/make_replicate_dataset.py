@@ -143,14 +143,19 @@ def _keyword_patterns(n_channels: int = 129, seed: int = 999):
     rng = np.random.default_rng(seed)
     pats = {}
     for word in _KEYWORD_ORDER:
-        # Floor 0.30: every channel carries the speech envelope (the VAD
-        # needs broad activation); identity lives in the channel RATIOS.
-        # Measured with the 0.45 floor: the reference-recipe decoder
-        # plateaued at 11/24 held-out keyword-ID (right/up/left collapsed
-        # onto one trajectory) while the inputs' cross-word/within-word
-        # pattern distance ratio sat at ~2:1 — the wider ratio range
-        # lifts that separability without touching the audio side.
-        g = rng.uniform(0.30, 1.0, n_channels)
+        # Baseline 0.35 on every channel (the VAD needs broad activation)
+        # plus a word-specific SUBSET of ~22 channels boosted to 1.0-1.6:
+        # identity lives in a sparse spatial pattern, like the distinct
+        # electrode subsets real word decoding rides on.  Measured with
+        # dense uniform-ratio patterns (floors 0.45 and 0.30): the
+        # reference-recipe decoder deterministically collapsed
+        # right/up/left onto one rendered trajectory (11/24 then 18/36
+        # held-out keyword-ID) even though nearest-centroid separation of
+        # the inputs was clean — the 2-layer biLSTM needs spatially
+        # structured contrasts, not uniform ratio soup.
+        g = np.full(n_channels, 0.35)
+        boost = rng.choice(128, size=22, replace=False)
+        g[boost] = rng.uniform(1.0, 1.6, len(boost))
         g[128:] = 0.0
         pats[word] = g
     return pats
@@ -356,16 +361,33 @@ def main() -> None:
         }, indent=1))
         kw_dir = base / "keyword_templates"
         kw_dir.mkdir(exist_ok=True)
+        from make_speech_corpus import KEYWORDS, synth_word
+
+        tpl_rng = np.random.default_rng(777_000)
         for w, wav in bank.items():
-            pcm = wav * 32767 * 0.55
-            # Template room tone at the SESSIONS' relative floor (tone RMS
-            # 40 under word scale 24000): bare-silence closures against
-            # the sessions' room tone cost ~2.3 dB DTW on a bit-identical
-            # word — enough to flip keyword-ID (the round-2 floor lesson,
-            # measured again here: 2.29 -> 0.32 dB once matched).
-            tone = rng.normal(0.0, 40.0 * 32767 * 0.55 / 24000.0, len(pcm))
-            wavwrite(str(kw_dir / f"kw_{w}_0.wav"), FS_AUDIO,
-                     np.clip(pcm + tone, -32767, 32767).astype(np.int16))
+            # Variant 0 is the exact session render; 1-2 are same-speaker
+            # prosodic re-renders (f0 +-10%).  Nearest-template keyword-ID
+            # over variants measures word identity, not prosody luck: a
+            # single fixed-prosody template misclassified smoothed-but-
+            # intelligible decoded renderings that a 5-variant shifted set
+            # identified correctly.
+            variants = [wav]
+            for f0 in (108.0, 134.0):
+                v = synth_word(KEYWORDS[w], tpl_rng, f0=f0)
+                variants.append((v / (np.max(np.abs(v)) + 1e-9)
+                                 * 0.6).astype(np.float32))
+            for i, v in enumerate(variants):
+                pcm = v * 32767 * 0.55
+                # Template room tone at the SESSIONS' relative floor (tone
+                # RMS 40 under word scale 24000): bare-silence closures
+                # against the sessions' room tone cost ~2.3 dB DTW on a
+                # bit-identical word — enough to flip keyword-ID (the
+                # round-2 floor lesson, measured again here: 2.29 ->
+                # 0.32 dB once matched).
+                tone = rng.normal(0.0, 40.0 * 32767 * 0.55 / 24000.0,
+                                  len(pcm))
+                wavwrite(str(kw_dir / f"kw_{w}_{i}.wav"), FS_AUDIO,
+                         np.clip(pcm + tone, -32767, 32767).astype(np.int16))
     else:
         for day in DAYS:
             make_keyword_day(base / "KeywordReading" / day, rng)
