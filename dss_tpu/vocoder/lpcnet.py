@@ -66,7 +66,8 @@ class LPCNet:
     def __init__(self, backend: str = "dsp", weights=None,
                  model: Optional[LPCNetModel] = None, seed: int = 0,
                  use_pallas: Optional[bool] = None,
-                 temperature_scale: float = 1.0):
+                 temperature_scale: float = 1.0,
+                 quiet_sharpen: bool = False):
         if backend not in ("dsp", "net"):
             raise ValueError(f"Unknown vocoder backend: {backend}")
         self.backend = backend
@@ -75,6 +76,9 @@ class LPCNet:
         # Multiplies the pitch-correlation-derived sharpening (net backend;
         # xiph LPCNet exposes the analogous sampler knob). 1.0 = default.
         self.temperature_scale = float(temperature_scale)
+        # Energy-gated quiet-frame sharpening (the online units' squelch,
+        # vocoder/net.py QUIET_C0); off by default for offline scoring.
+        self.quiet_sharpen = bool(quiet_sharpen)
         if backend == "dsp":
             self._dsp = LPCVocoder(seed=seed)
         else:
@@ -109,6 +113,7 @@ class LPCNet:
             jnp.asarray(features, jnp.float32).reshape(1, 1, NB_FEATURES),
             use_pallas=self.use_pallas, sparse_pattern=self._sparse,
             temperature_scale=self.temperature_scale,
+            quiet_sharpen=self.quiet_sharpen,
         )
         return np.asarray(
             np.clip(np.asarray(pcm[0]) * 32767.0, -32768, 32767),
@@ -132,6 +137,7 @@ class LPCNet:
             jnp.zeros((1, n_frames, NB_FEATURES), jnp.float32),
             use_pallas=self.use_pallas, sparse_pattern=self._sparse,
             temperature_scale=self.temperature_scale,
+            quiet_sharpen=self.quiet_sharpen,
         )
         np.asarray(pcm)
 
@@ -144,6 +150,7 @@ class LPCNet:
             jnp.asarray(features, jnp.float32)[None],
             use_pallas=self.use_pallas, sparse_pattern=self._sparse,
             temperature_scale=self.temperature_scale,
+            quiet_sharpen=self.quiet_sharpen,
         )
         return np.asarray(
             np.clip(np.asarray(pcm[0]) * 32767.0, -32768, 32767),
@@ -163,11 +170,13 @@ class BatchedLPCNet:
     def __init__(self, batch: int, backend: str = "net", weights=None,
                  model: Optional[LPCNetModel] = None, seed: int = 0,
                  use_pallas: Optional[bool] = None,
-                 temperature_scale: float = 1.0):
+                 temperature_scale: float = 1.0,
+                 quiet_sharpen: bool = False):
         self.batch = batch
         self.backend = backend
         self.use_pallas = _resolve_use_pallas(use_pallas)
         self.temperature_scale = float(temperature_scale)
+        self.quiet_sharpen = bool(quiet_sharpen)
         if backend == "dsp":
             self._states = [LPCVocoder(seed=seed + i) for i in range(batch)]
         else:
@@ -205,6 +214,7 @@ class BatchedLPCNet:
             self._model, self._params, self._state, jnp.asarray(features),
             use_pallas=self.use_pallas, sparse_pattern=self._sparse,
             temperature_scale=self.temperature_scale,
+            quiet_sharpen=self.quiet_sharpen,
         )
         return np.asarray(
             np.clip(np.asarray(pcm) * 32767.0, -32768, 32767), dtype=np.int16

@@ -108,6 +108,10 @@ def main() -> None:
                     help="Score at most this many segments (0 = all); "
                          "evenly spaced over the run.")
     ap.add_argument("--out", default=None, help="Also write JSON here.")
+    ap.add_argument("--quiet-sharpen", action="store_true",
+                    help="Match the online units' quiet-frame squelch "
+                         "(decode_online defaults it ON) so the offline "
+                         "rendering runs the same sampler config.")
     args = ap.parse_args()
 
     if args.platform:
@@ -136,7 +140,8 @@ def main() -> None:
     feats, recos = read_segments(args.run_dir)
     use_pallas = {"auto": None, "on": True, "off": False}[args.pallas]
     voc = LPCNet(backend="net", weights=args.weights, seed=args.seed,
-                 use_pallas=use_pallas)
+                 use_pallas=use_pallas,
+                 quiet_sharpen=args.quiet_sharpen)
 
     eligible = [i for i, f in enumerate(feats)
                 if len(f) >= args.min_frames]
